@@ -1,0 +1,99 @@
+"""Closest-hit queries with stochastic-opacity semantics.
+
+The reference's Hit() draws ``Rand() < opacity`` per candidate leaf
+intersection during BVH traversal and rejects transparent hits
+(pathtracer.cpp:463-488). The wavefront equivalent: find the closest hit,
+consult the opacity texture, and on rejection *re-trace past it* using an
+exclusive lower bound on t — a statically bounded number of attempts
+(RenderConfig.opacity_attempts). Draws are keyed (pixel, sample, stream,
+SLOT_OPACITY_BASE + attempt) so the CPU oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.scene import Scene
+from ..utils.constants import TEX_OPACITY, NO_TEXTURE
+from . import rng
+from .intersect import intersect_classic, intersect_matmul
+from .texture import sample_texture
+
+
+def _select_intersector(scene: Scene, cfg):
+    name = cfg.intersector
+    if name == "auto":
+        # BVH routing lands in accel/; until then auto picks matmul.
+        name = "matmul"
+    if name == "matmul":
+        return intersect_matmul
+    if name == "classic":
+        return intersect_classic
+    if name == "bvh":
+        from ..accel.traverse import intersect_bvh
+        return intersect_bvh
+    raise ValueError(f"unknown intersector {name!r}")
+
+
+def interpolate_uv(scene: Scene, tri_idx, u, v):
+    """Barycentric UV (GetUV, pathtracer.cpp:533-536):
+    (1-u-v)*uv1 + u*uv2 + v*uv3."""
+    g = scene.geom
+    w0 = (1.0 - u - v)[:, None]
+    return (w0 * g.uv0[tri_idx] + u[:, None] * g.uv1[tri_idx]
+            + v[:, None] * g.uv2[tri_idx])
+
+
+def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
+                slot_base=rng.SLOT_OPACITY_BASE, intersect_fn=None,
+                tri_w=None):
+    """Closest hit with stochastic alpha.
+
+    Returns (hit bool[N], tri_idx i32[N], t f32[N], u f32[N], v f32[N]).
+    ``stream`` is the bounce-segment RNG stream; shadow rays pass
+    ``slot_base=SLOT_NEE_OPACITY_BASE``.
+    """
+    if intersect_fn is None:
+        intersect_fn = _select_intersector(scene, cfg)
+    kw = {}
+    if tri_w is not None and intersect_fn is intersect_matmul:
+        kw["tri_w"] = tri_w
+
+    N = ro.shape[0]
+    t_lower = jnp.zeros((N,), jnp.float32)
+
+    hit, idx, t, u, v = intersect_fn(scene.geom, ro, rd, t_lower, **kw)
+    if not scene.has_opacity_tex:
+        return hit, idx, t, u, v
+
+    # Opacity re-trace loop (statically unrolled). A lane is *settled* once
+    # its candidate is a miss, an opaque-textured accept, or has no opacity
+    # texture; settled lanes never re-draw (a fresh draw on the same hit
+    # would flip acceptances the oracle already made).
+    g = scene.geom
+    mat = scene.materials
+    result = (hit, idx, t, u, v)
+    settled = jnp.zeros((N,), bool)
+    for attempt in range(cfg.opacity_attempts):
+        hit, idx, t, u, v = result
+        mid = mat.tex_index[g.mat_id[idx], TEX_OPACITY]
+        has_otex = hit & (mid != NO_TEXTURE)
+        uv = interpolate_uv(scene, idx, u, v)
+        texel = sample_texture(scene.textures, mid, uv,
+                               jnp.ones((N, 4), jnp.float32), has_otex)
+        opacity = texel[:, 0]
+        draw = rng.rand_slot(seed, pixel, sample_idx, stream,
+                             slot_base + attempt)
+        # Reference accepts when Rand() < opacity (pathtracer.cpp:475).
+        rejected = ~settled & has_otex & ~(draw < opacity)
+        settled = settled | ~rejected
+        if attempt == cfg.opacity_attempts - 1:
+            # Budget exhausted: accept the candidate (bounded deviation; the
+            # oracle applies the same rule).
+            break
+        t_lower = jnp.where(rejected, t, t_lower)
+        nh, ni, nt, nu, nv = intersect_fn(scene.geom, ro, rd, t_lower, **kw)
+        result = (jnp.where(settled, hit, nh), jnp.where(settled, idx, ni),
+                  jnp.where(settled, t, nt), jnp.where(settled, u, nu),
+                  jnp.where(settled, v, nv))
+    return result

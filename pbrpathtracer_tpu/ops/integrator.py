@@ -1,0 +1,99 @@
+"""Wavefront integrator: the reference's per-pixel recursive Trace loop
+(RenderFrame, pathtracer.cpp:741-817) re-architected as a bounce-major
+`lax.scan` over a dense (pixel × sample) wavefront.
+
+Per segment every lane does: closest-hit query → masked shading (ops/shade) →
+next ray. A `lax.cond` skips whole segments once every lane is dead. The scan
+(not while_loop) keeps the integrator reverse-mode differentiable end to end.
+
+Progressive accumulation matches RenderFrame's buffer semantics: float accum
++= per-pass radiance, display = floor(clamp(accum/samples, 0, 1)·255), no
+gamma (pathtracer.cpp:796-812).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.scene import Camera, Scene
+from . import rng
+from .camera import generate_rays
+from .hit import closest_hit, _select_intersector
+from .intersect import intersect_matmul, triangle_features
+from .shade import WavefrontState, shade_segment
+
+
+def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
+                  pixel_idx=None):
+    """Trace one sample per pixel. Returns radiance f32[N, 3].
+
+    ``sample_idx`` is the *absolute* sample counter (progressive passes and
+    checkpoint-resume pass increasing values, keeping the RNG seed-exact —
+    SURVEY.md §5 checkpoint row).
+    """
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+    seed = jnp.uint32(cfg.seed)
+    sample_idx = jnp.uint32(sample_idx)
+
+    ro, rd = generate_rays(camera, cfg.width, cfg.height, seed, sample_idx,
+                           pixel_idx)
+    state = WavefrontState.initial(ro, rd, pixel_idx)
+
+    intersect_fn = _select_intersector(scene, cfg)
+    tri_w = (triangle_features(scene.geom)
+             if intersect_fn is intersect_matmul else None)
+
+    def segment(state, seg):
+        stream = rng.bounce_stream(seg)
+
+        def live(state):
+            hit, idx, t, u, v = closest_hit(
+                scene, cfg, state.ro, state.rd, seed, state.pixel,
+                sample_idx, stream, intersect_fn=intersect_fn, tri_w=tri_w)
+
+            def shadow_trace(p, l):
+                return closest_hit(
+                    scene, cfg, p, l, seed, state.pixel, sample_idx, stream,
+                    slot_base=rng.SLOT_NEE_OPACITY_BASE,
+                    intersect_fn=intersect_fn, tri_w=tri_w)
+
+            return shade_segment(scene, cfg, state, hit, idx, t, u, v,
+                                 seg, sample_idx, seed, shadow_trace)
+
+        state = jax.lax.cond(jnp.any(state.alive), live, lambda s: s, state)
+        return state, None
+
+    segs = jnp.arange(cfg.resolved_max_segments(), dtype=jnp.uint32)
+    state, _ = jax.lax.scan(segment, state, segs)
+    return state.radiance
+
+
+def render_accumulate(scene: Scene, camera: Camera, cfg, accum,
+                      sample_start, num_samples: int):
+    """Add ``num_samples`` progressive passes onto ``accum`` (f32[N,3]).
+
+    Returns the new accumulation buffer; caller tracks the sample counter
+    (mirrors mTotalImg/mSamples, pathtracer.cpp:745-753, 798-800).
+    """
+    def body(acc, k):
+        return acc + render_sample(scene, camera, cfg, sample_start + k), None
+    ks = jnp.arange(num_samples, dtype=jnp.uint32)
+    accum, _ = jax.lax.scan(body, accum, ks)
+    return accum
+
+
+def render(scene: Scene, camera: Camera, cfg):
+    """Render cfg.spp samples; returns mean radiance f32[H, W, 3]."""
+    accum = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
+    accum = render_accumulate(scene, camera, cfg, accum, 0, cfg.spp)
+    img = accum / jnp.float32(cfg.spp)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+def tonemap_u8(accum, samples):
+    """Display conversion, parity with pathtracer.cpp:802-812: clamp the
+    running mean to [0,1] and truncate to bytes (no gamma)."""
+    res = jnp.clip(accum / jnp.float32(samples), 0.0, 1.0)
+    return (res * 255.0).astype(jnp.uint8)
