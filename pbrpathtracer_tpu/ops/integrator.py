@@ -25,16 +25,17 @@ from .shade import WavefrontState, shade_segment
 
 
 def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
-                  pixel_idx=None):
+                  pixel_idx=None, seed=None):
     """Trace one sample per pixel. Returns radiance f32[N, 3].
 
     ``sample_idx`` is the *absolute* sample counter (progressive passes and
     checkpoint-resume pass increasing values, keeping the RNG seed-exact —
-    SURVEY.md §5 checkpoint row).
+    SURVEY.md §5 checkpoint row). ``seed`` optionally overrides cfg.seed
+    with a *traced* value (no recompile per seed — used by fit loops).
     """
     if pixel_idx is None:
         pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
-    seed = jnp.uint32(cfg.seed)
+    seed = jnp.uint32(cfg.seed) if seed is None else jnp.asarray(seed, jnp.uint32)
     sample_idx = jnp.uint32(sample_idx)
 
     ro, rd = generate_rays(camera, cfg.width, cfg.height, seed, sample_idx,
@@ -71,23 +72,26 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
 
 
 def render_accumulate(scene: Scene, camera: Camera, cfg, accum,
-                      sample_start, num_samples: int):
+                      sample_start, num_samples: int, seed=None):
     """Add ``num_samples`` progressive passes onto ``accum`` (f32[N,3]).
 
     Returns the new accumulation buffer; caller tracks the sample counter
     (mirrors mTotalImg/mSamples, pathtracer.cpp:745-753, 798-800).
     """
+    sample_start = jnp.asarray(sample_start, jnp.uint32)
+
     def body(acc, k):
-        return acc + render_sample(scene, camera, cfg, sample_start + k), None
+        return acc + render_sample(scene, camera, cfg, sample_start + k,
+                                   seed=seed), None
     ks = jnp.arange(num_samples, dtype=jnp.uint32)
     accum, _ = jax.lax.scan(body, accum, ks)
     return accum
 
 
-def render(scene: Scene, camera: Camera, cfg):
+def render(scene: Scene, camera: Camera, cfg, seed=None):
     """Render cfg.spp samples; returns mean radiance f32[H, W, 3]."""
     accum = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
-    accum = render_accumulate(scene, camera, cfg, accum, 0, cfg.spp)
+    accum = render_accumulate(scene, camera, cfg, accum, 0, cfg.spp, seed=seed)
     img = accum / jnp.float32(cfg.spp)
     return img.reshape(cfg.height, cfg.width, 3)
 

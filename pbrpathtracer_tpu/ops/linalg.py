@@ -1,10 +1,19 @@
 """Small vector helpers shared by shading and the integrator. All operate on
-f32[N,3] batches. ``safe_normalize`` guards the zero-vector case so reverse-mode
-gradients stay finite (jnp.where-NaN pitfall)."""
+f32[N,3] batches.
 
+Gradient safety: reverse-mode through `sqrt(0)` or `norm(0)` produces
+inf/NaN that `jnp.where` cannot mask out (the classic where-grad pitfall), so
+`safe_sqrt` uses the double-where construction and `safe_normalize` a
+regularized norm — forward results change by O(1e-20), gradients stay finite.
+"""
+
+import jax
 import jax.numpy as jnp
 
-TINY = 1e-20
+# Norm² floor: must stay comfortably inside f32 range through the VJP
+# (rsqrt' ~ n2^(-3/2): 1e-12 → 1e18, finite; 1e-20 would overflow to inf and
+# poison gradients as inf·0 = NaN).
+TINY = 1e-12
 
 
 def dot(a, b):
@@ -12,8 +21,8 @@ def dot(a, b):
 
 
 def safe_normalize(v):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.maximum(n, TINY)
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, TINY))
 
 
 def reflect(rd, n):
@@ -22,4 +31,6 @@ def reflect(rd, n):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(x, 0)) with a finite gradient at x <= 0 (double-where)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
