@@ -49,6 +49,21 @@ from ..scene.scene import Geometry
 
 BIG = np.float32(3.0e38)
 
+# Per-chunk intermediate budget (f32 elements) for the N×(4·chunk) test
+# matrix: bounds peak HBM regardless of wavefront size. 64M f32 = 256 MB.
+CHUNK_ELEM_BUDGET = 64 * 1024 * 1024
+
+
+def _auto_chunk(n_rays: int, n_tris: int, requested: int) -> int:
+    """Pick a triangle-chunk size: fit the [N, 4*chunk] intermediate inside
+    the budget, round to the TPU lane width, never exceed `requested`."""
+    fit = max(CHUNK_ELEM_BUDGET // max(4 * n_rays, 1), 128)
+    chunk = min(requested, fit)
+    chunk = max(128, (chunk // 128) * 128)
+    # No point chunking past the (padded) triangle count.
+    t_pad = ((n_tris + 127) // 128) * 128
+    return min(chunk, max(t_pad, 128))
+
 
 def _pad_tris(arrs, chunk):
     """Pad T-dim arrays to a multiple of chunk with degenerate (auto-miss)
@@ -129,6 +144,7 @@ def intersect_matmul(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048,
         t_lower = jnp.zeros((N,), jnp.float32)
     if tri_w is None:
         tri_w = triangle_features(geom)
+    chunk = _auto_chunk(N, tri_w.shape[-1], chunk)
     (tri_w,), T = _pad_tris([jnp.moveaxis(tri_w, -1, 0)], chunk)
     tri_w = jnp.moveaxis(tri_w, 0, -1)            # [10, 4, Tp]
     n_chunks = tri_w.shape[-1] // chunk
@@ -163,6 +179,7 @@ def intersect_classic(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048):
     N = ro.shape[0]
     if t_lower is None:
         t_lower = jnp.zeros((N,), jnp.float32)
+    chunk = _auto_chunk(N, geom.v0.shape[0], chunk)
     (v0, e1, e2), T = _pad_tris([geom.v0, geom.e1, geom.e2], chunk)
     n_chunks = v0.shape[0] // chunk
 

@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# does stick. Tests must run on the virtual CPU mesh, not the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: reverse-mode renderer jits are expensive
 # (~1-5 min); cache them across test runs.
