@@ -21,16 +21,23 @@ from .texture import sample_texture
 
 
 def _select_intersector(scene: Scene, cfg):
+    """Resolve cfg.intersector to fn(scene, ro, rd, t_lower) -> hit tuple.
+
+    "auto": BVH when the scene has one and is past the threshold, else the
+    MXU matmul formulation."""
     name = cfg.intersector
     if name == "auto":
-        # BVH routing lands in accel/; until then auto picks matmul.
-        name = "matmul"
+        name = ("bvh" if scene.accel is not None
+                and scene.num_triangles > cfg.bvh_threshold else "matmul")
     if name == "matmul":
-        return intersect_matmul
+        return lambda s, ro, rd, tl: intersect_matmul(s.geom, ro, rd, tl)
     if name == "classic":
-        return intersect_classic
+        return lambda s, ro, rd, tl: intersect_classic(s.geom, ro, rd, tl)
     if name == "bvh":
         from ..accel.traverse import intersect_bvh
+        if scene.accel is None:
+            raise ValueError("intersector='bvh' but scene has no accel; "
+                             "build the scene with with_accel()")
         return intersect_bvh
     raise ValueError(f"unknown intersector {name!r}")
 
@@ -45,24 +52,21 @@ def interpolate_uv(scene: Scene, tri_idx, u, v):
 
 
 def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
-                slot_base=rng.SLOT_OPACITY_BASE, intersect_fn=None,
-                tri_w=None):
+                slot_base=rng.SLOT_OPACITY_BASE, intersect_fn=None):
     """Closest hit with stochastic alpha.
 
     Returns (hit bool[N], tri_idx i32[N], t f32[N], u f32[N], v f32[N]).
     ``stream`` is the bounce-segment RNG stream; shadow rays pass
-    ``slot_base=SLOT_NEE_OPACITY_BASE``.
+    ``slot_base=SLOT_NEE_OPACITY_BASE``. ``intersect_fn(scene, ro, rd,
+    t_lower)`` defaults to the cfg-selected intersector.
     """
     if intersect_fn is None:
         intersect_fn = _select_intersector(scene, cfg)
-    kw = {}
-    if tri_w is not None and intersect_fn is intersect_matmul:
-        kw["tri_w"] = tri_w
 
     N = ro.shape[0]
     t_lower = jnp.zeros((N,), jnp.float32)
 
-    hit, idx, t, u, v = intersect_fn(scene.geom, ro, rd, t_lower, **kw)
+    hit, idx, t, u, v = intersect_fn(scene, ro, rd, t_lower)
     if not scene.has_opacity_tex:
         return hit, idx, t, u, v
 
@@ -92,7 +96,7 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
             # oracle applies the same rule).
             break
         t_lower = jnp.where(rejected, t, t_lower)
-        nh, ni, nt, nu, nv = intersect_fn(scene.geom, ro, rd, t_lower, **kw)
+        nh, ni, nt, nu, nv = intersect_fn(scene, ro, rd, t_lower)
         result = (jnp.where(settled, hit, nh), jnp.where(settled, idx, ni),
                   jnp.where(settled, t, nt), jnp.where(settled, u, nu),
                   jnp.where(settled, v, nv))

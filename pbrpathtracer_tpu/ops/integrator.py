@@ -42,9 +42,19 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
                            pixel_idx)
     state = WavefrontState.initial(ro, rd, pixel_idx)
 
-    intersect_fn = _select_intersector(scene, cfg)
-    tri_w = (triangle_features(scene.geom)
-             if intersect_fn is intersect_matmul else None)
+    name = cfg.intersector
+    if name == "auto":
+        name = ("bvh" if scene.accel is not None
+                and scene.num_triangles > cfg.bvh_threshold else "matmul")
+    if name == "matmul":
+        # Hoist the triangle-feature pack out of the per-segment loop
+        # (computed once per render under jit).
+        tri_w = triangle_features(scene.geom)
+
+        def intersect_fn(s, ro, rd, tl):
+            return intersect_matmul(s.geom, ro, rd, tl, tri_w=tri_w)
+    else:
+        intersect_fn = _select_intersector(scene, cfg.replace(intersector=name))
 
     def segment(state, seg):
         stream = rng.bounce_stream(seg)
@@ -52,13 +62,13 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
         def live(state):
             hit, idx, t, u, v = closest_hit(
                 scene, cfg, state.ro, state.rd, seed, state.pixel,
-                sample_idx, stream, intersect_fn=intersect_fn, tri_w=tri_w)
+                sample_idx, stream, intersect_fn=intersect_fn)
 
             def shadow_trace(p, l):
                 return closest_hit(
                     scene, cfg, p, l, seed, state.pixel, sample_idx, stream,
                     slot_base=rng.SLOT_NEE_OPACITY_BASE,
-                    intersect_fn=intersect_fn, tri_w=tri_w)
+                    intersect_fn=intersect_fn)
 
             return shade_segment(scene, cfg, state, hit, idx, t, u, v,
                                  seg, sample_idx, seed, shadow_trace)

@@ -153,6 +153,9 @@ class Scene:
     materials: Materials
     textures: Textures
     lights: jnp.ndarray   # i32[L] triangle indices (L may be 0)
+    # Optional acceleration structure (accel.build.FlatBVH); None = dense
+    # intersectors only.
+    accel: object = None
     # Static metadata (not traced):
     has_opacity_tex: bool = struct.field(pytree_node=False, default=False)
     has_any_texture: bool = struct.field(pytree_node=False, default=False)
@@ -309,16 +312,33 @@ def build_lights(geom: Geometry, materials: Materials) -> jnp.ndarray:
 
 
 def finalize_scene(geom: Geometry, materials: Materials,
-                   textures: Textures | None = None) -> Scene:
-    """Assemble a Scene: build the light list and static texture flags."""
+                   textures: Textures | None = None,
+                   accel: str | None = "auto",
+                   accel_threshold: int = 4096) -> Scene:
+    """Assemble a Scene: build the light list, static texture flags, and —
+    for large scenes — the BVH ("auto": build when tris > accel_threshold;
+    "always"/None force/skip)."""
     if textures is None:
         textures = empty_textures()
     tex_index = np.asarray(materials.tex_index)
     from ..utils.constants import TEX_OPACITY
     has_opacity = bool((tex_index[:, TEX_OPACITY] >= 0).any())
     has_any = bool((tex_index >= 0).any())
-    return Scene(
+    scene = Scene(
         geom=geom, materials=materials, textures=textures,
         lights=build_lights(geom, materials),
         has_opacity_tex=has_opacity, has_any_texture=has_any,
     )
+    T = geom.num_triangles
+    if accel == "always" or (accel == "auto" and T > accel_threshold):
+        scene = with_accel(scene)
+    return scene
+
+
+def with_accel(scene: Scene, leaf_size: int = 8) -> Scene:
+    """Attach a BVH (accel/build.py) built from the scene geometry."""
+    from ..accel.build import build_bvh
+    v0, v1, v2 = scene.geom.vertices()
+    bvh = build_bvh(np.asarray(v0), np.asarray(v1), np.asarray(v2),
+                    leaf_size=leaf_size)
+    return scene.replace(accel=bvh)
