@@ -336,9 +336,10 @@ def finalize_scene(geom: Geometry, materials: Materials,
 
 
 def with_accel(scene: Scene, leaf_size: int = 8) -> Scene:
-    """Attach a BVH (accel/build.py) built from the scene geometry."""
-    from ..accel.build import build_bvh
+    """Attach a BVH built from the scene geometry (C++ SAH builder for
+    large scenes, numpy median-split otherwise — accel/native.py)."""
+    from ..accel.native import build_bvh_auto
     v0, v1, v2 = scene.geom.vertices()
-    bvh = build_bvh(np.asarray(v0), np.asarray(v1), np.asarray(v2),
-                    leaf_size=leaf_size)
+    bvh = build_bvh_auto(np.asarray(v0), np.asarray(v1), np.asarray(v2),
+                         leaf_size=leaf_size)
     return scene.replace(accel=bvh)
