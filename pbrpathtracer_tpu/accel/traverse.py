@@ -43,40 +43,39 @@ def _traverse_one(bvh_arrays, tris, leaf_size, ro, rd, t_lower):
         cnt = count[ptr]
         is_leaf = cnt > 0
 
-        def test_leaf(args):
-            bt, bi, bu, bv = args
-            f0 = first[ptr]
-            slots = f0 + jnp.arange(leaf_size, dtype=jnp.int32)
-            valid_slot = (jnp.arange(leaf_size) < cnt)
-            tri = perm[jnp.clip(slots, 0, perm.shape[0] - 1)]
-            tri_safe = jnp.clip(tri, 0, v0.shape[0] - 1)
-            tv0 = v0[tri_safe]
-            te1 = e1[tri_safe]
-            te2 = e2[tri_safe]
-            # Möller–Trumbore (pathtracer.cpp:373-409 semantics)
-            h = jnp.cross(jnp.broadcast_to(rd, te2.shape), te2)
-            a = jnp.sum(te1 * h, axis=-1)
-            ok = jnp.abs(a) >= EPS
-            f = jnp.where(ok, 1.0 / jnp.where(ok, a, 1.0), 0.0)
-            s = ro - tv0
-            u = f * jnp.sum(s * h, axis=-1)
-            q = jnp.cross(s, te1)
-            v = f * jnp.sum(rd[None, :] * q, axis=-1)
-            t = f * jnp.sum(te2 * q, axis=-1)
-            valid = (ok & valid_slot & (tri >= 0)
-                     & (u >= 0.0) & (u <= 1.0)
-                     & (v >= 0.0) & (u + v <= 1.0)
-                     & (t > EPS) & (t > t_lower) & (t < bt))
-            t_m = jnp.where(valid, t, BIG)
-            j = jnp.argmin(t_m)
-            better = t_m[j] < bt
-            return (jnp.where(better, t_m[j], bt),
-                    jnp.where(better, tri[j], bi),
-                    jnp.where(better, u[j], bu),
-                    jnp.where(better, v[j], bv))
-
-        bt, bi, bu, bv = jax.lax.cond(
-            hit_box & is_leaf, test_leaf, lambda a: a, (bt, bi, bu, bv))
+        # Leaf test, straight-line + masked (under vmap a lax.cond becomes a
+        # both-branches select anyway, and cond-inside-while breaks the
+        # outer integrator cond's MLIR lowering under grad).
+        active = hit_box & is_leaf
+        f0 = first[ptr]
+        slots = f0 + jnp.arange(leaf_size, dtype=jnp.int32)
+        valid_slot = (jnp.arange(leaf_size) < cnt) & active
+        tri = perm[jnp.clip(slots, 0, perm.shape[0] - 1)]
+        tri_safe = jnp.clip(tri, 0, v0.shape[0] - 1)
+        tv0 = v0[tri_safe]
+        te1 = e1[tri_safe]
+        te2 = e2[tri_safe]
+        # Möller–Trumbore (pathtracer.cpp:373-409 semantics)
+        h = jnp.cross(jnp.broadcast_to(rd, te2.shape), te2)
+        a = jnp.sum(te1 * h, axis=-1)
+        ok = jnp.abs(a) >= EPS
+        f = jnp.where(ok, 1.0 / jnp.where(ok, a, 1.0), 0.0)
+        s = ro - tv0
+        u = f * jnp.sum(s * h, axis=-1)
+        q = jnp.cross(s, te1)
+        v = f * jnp.sum(rd[None, :] * q, axis=-1)
+        t = f * jnp.sum(te2 * q, axis=-1)
+        valid = (ok & valid_slot & (tri >= 0)
+                 & (u >= 0.0) & (u <= 1.0)
+                 & (v >= 0.0) & (u + v <= 1.0)
+                 & (t > EPS) & (t > t_lower) & (t < bt))
+        t_m = jnp.where(valid, t, BIG)
+        j = jnp.argmin(t_m)
+        better = t_m[j] < bt
+        bt = jnp.where(better, t_m[j], bt)
+        bi = jnp.where(better, tri[j], bi)
+        bu = jnp.where(better, u[j], bu)
+        bv = jnp.where(better, v[j], bv)
 
         ptr = jnp.where(hit_box, ptr + 1, escape[ptr])
         return (ptr, bt, bi, bu, bv)

@@ -39,6 +39,15 @@ class RenderConfig:
     intersector: str = "auto"
     bvh_threshold: int = 4096     # tri count above which auto uses the BVH
     use_pallas: bool = False      # route hot kernels through Pallas (TPU only)
+    # Winner-only custom VJP for hit queries (ops/intersect_vjp.py): O(N)
+    # backward instead of replaying the O(N*T) query; required for
+    # differentiating through the BVH walk (while_loop has no reverse rule).
+    custom_hit_vjp: bool = True
+    # Structurally skip bounce segments once every lane is dead (lax.cond).
+    # Big win for forward renders with dead tails. The BVH path ignores it:
+    # lax.cond around a while_loop trips an MLIR constant-lowering bug under
+    # grad on this JAX version (see ops/integrator.py).
+    skip_dead_segments: bool = True
 
     def resolved_max_segments(self) -> int:
         if self.max_segments is not None:

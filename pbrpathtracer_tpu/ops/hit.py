@@ -20,15 +20,19 @@ from .intersect import intersect_classic, intersect_matmul
 from .texture import sample_texture
 
 
-def _select_intersector(scene: Scene, cfg):
-    """Resolve cfg.intersector to fn(scene, ro, rd, t_lower) -> hit tuple.
-
-    "auto": BVH when the scene has one and is past the threshold, else the
-    MXU matmul formulation."""
+def _resolve_intersector_name(scene: Scene, cfg) -> str:
+    """ "auto" → BVH when the scene has one and is past the threshold, else
+    the MXU matmul formulation."""
     name = cfg.intersector
     if name == "auto":
         name = ("bvh" if scene.accel is not None
                 and scene.num_triangles > cfg.bvh_threshold else "matmul")
+    return name
+
+
+def _select_intersector(scene: Scene, cfg):
+    """Resolve cfg.intersector to fn(scene, ro, rd, t_lower) -> hit tuple."""
+    name = _resolve_intersector_name(scene, cfg)
     if name == "matmul":
         return lambda s, ro, rd, tl: intersect_matmul(s.geom, ro, rd, tl)
     if name == "classic":

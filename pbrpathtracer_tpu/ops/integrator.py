@@ -42,19 +42,19 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
                            pixel_idx)
     state = WavefrontState.initial(ro, rd, pixel_idx)
 
-    name = cfg.intersector
-    if name == "auto":
-        name = ("bvh" if scene.accel is not None
-                and scene.num_triangles > cfg.bvh_threshold else "matmul")
-    if name == "matmul":
-        # Hoist the triangle-feature pack out of the per-segment loop
-        # (computed once per render under jit).
-        tri_w = triangle_features(scene.geom)
+    # NOTE: no manual hoisting of loop-invariant precomputes (triangle
+    # features) — custom_vjp functions cannot close over traced values, and
+    # XLA's loop-invariant code motion pulls them out of the scan anyway.
+    from .hit import _resolve_intersector_name
+    resolved = _resolve_intersector_name(scene, cfg)
+    intersect_fn = _select_intersector(scene, cfg)
+    if cfg.custom_hit_vjp:
+        from .intersect_vjp import with_custom_vjp
+        intersect_fn = with_custom_vjp(intersect_fn)
+    # lax.cond around a while_loop breaks MLIR lowering under grad on this
+    # JAX version — the BVH walk always runs without the segment skip.
+    skip_dead = cfg.skip_dead_segments and resolved != "bvh"
 
-        def intersect_fn(s, ro, rd, tl):
-            return intersect_matmul(s.geom, ro, rd, tl, tri_w=tri_w)
-    else:
-        intersect_fn = _select_intersector(scene, cfg.replace(intersector=name))
 
     def segment(state, seg):
         stream = rng.bounce_stream(seg)
@@ -73,7 +73,11 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
             return shade_segment(scene, cfg, state, hit, idx, t, u, v,
                                  seg, sample_idx, seed, shadow_trace)
 
-        state = jax.lax.cond(jnp.any(state.alive), live, lambda s: s, state)
+        if skip_dead:
+            state = jax.lax.cond(jnp.any(state.alive), live, lambda s: s,
+                                 state)
+        else:
+            state = live(state)
         return state, None
 
     segs = jnp.arange(cfg.resolved_max_segments(), dtype=jnp.uint32)
