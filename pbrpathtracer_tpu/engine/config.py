@@ -36,9 +36,9 @@ class RenderConfig:
 
     # Intersector selection: "auto" picks brute-force matmul for small scenes
     # and the BVH wavefront for large ones.
-    intersector: str = "auto"
+    intersector: str = "auto"    # auto | pallas | matmul | classic | bvh
     bvh_threshold: int = 4096     # tri count above which auto uses the BVH
-    use_pallas: bool = False      # route hot kernels through Pallas (TPU only)
+    use_pallas: bool = True       # let auto route through Pallas on TPU
     # Winner-only custom VJP for hit queries (ops/intersect_vjp.py): O(N)
     # backward instead of replaying the O(N*T) query; required for
     # differentiating through the BVH walk (while_loop has no reverse rule).

@@ -11,6 +11,7 @@ SLOT_OPACITY_BASE + attempt) so the CPU oracle replays them exactly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..scene.scene import Scene
@@ -22,11 +23,15 @@ from .texture import sample_texture
 
 def _resolve_intersector_name(scene: Scene, cfg) -> str:
     """ "auto" → BVH when the scene has one and is past the threshold, else
-    the MXU matmul formulation."""
+    the fused Pallas kernel on TPU / the MXU matmul formulation elsewhere."""
     name = cfg.intersector
     if name == "auto":
-        name = ("bvh" if scene.accel is not None
-                and scene.num_triangles > cfg.bvh_threshold else "matmul")
+        if scene.accel is not None and scene.num_triangles > cfg.bvh_threshold:
+            name = "bvh"
+        elif cfg.use_pallas and jax.default_backend() == "tpu":
+            name = "pallas"
+        else:
+            name = "matmul"
     return name
 
 
@@ -37,6 +42,9 @@ def _select_intersector(scene: Scene, cfg):
         return lambda s, ro, rd, tl: intersect_matmul(s.geom, ro, rd, tl)
     if name == "classic":
         return lambda s, ro, rd, tl: intersect_classic(s.geom, ro, rd, tl)
+    if name == "pallas":
+        from ..kernels.intersect_pallas import intersect_pallas
+        return intersect_pallas
     if name == "bvh":
         from ..accel.traverse import intersect_bvh
         if scene.accel is None:
