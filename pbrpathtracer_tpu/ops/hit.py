@@ -26,10 +26,15 @@ def _resolve_intersector_name(scene: Scene, cfg) -> str:
     the fused Pallas kernel on TPU / the MXU matmul formulation elsewhere."""
     name = cfg.intersector
     if name == "auto":
-        if scene.accel is not None and scene.num_triangles > cfg.bvh_threshold:
-            name = "bvh"
-        elif cfg.use_pallas and jax.default_backend() == "tpu":
+        on_tpu = cfg.use_pallas and jax.default_backend() == "tpu"
+        if on_tpu:
+            # chunk-culled pallas (uses scene.accel.perm for locality when
+            # present) beats the gather-bound per-lane BVH walk on TPU at
+            # every measured scene size
             name = "pallas"
+        elif (scene.accel is not None
+              and scene.num_triangles > cfg.bvh_threshold):
+            name = "bvh"
         else:
             name = "matmul"
     return name
