@@ -66,11 +66,11 @@ def generate_rays(camera: Camera, width: int, height: int, seed, sample_idx,
     rd = pixel - camera.pos[None, :]
     rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
-    # Thin-lens DOF (pathtracer.cpp:787-791; SampleCircle :734-739)
-    u_angle = rng.rand_slot(seed, pixel_idx, sample_idx,
-                            rng.STREAM_CAMERA, rng.SLOT_LENS_ANGLE)
-    u_radius = rng.rand_slot(seed, pixel_idx, sample_idx,
-                             rng.STREAM_CAMERA, rng.SLOT_LENS_RADIUS)
+    # Thin-lens DOF (pathtracer.cpp:787-791; SampleCircle :734-739).
+    # Slots 0-1 share one pcg4d group — a single hash for both lens draws.
+    u_angle, u_radius, _, _ = rng.rand_slots4(
+        seed, pixel_idx, sample_idx, rng.STREAM_CAMERA,
+        rng.SLOT_LENS_ANGLE // 4)
     angle = u_angle * f32(2.0 * np.pi)
     radius = jnp.sqrt(u_radius)
     disc = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=-1) * radius[:, None]

@@ -79,6 +79,8 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
     """
     if intersect_fn is None:
         intersect_fn = _select_intersector(scene, cfg)
+    assert cfg.opacity_attempts <= rng.MAX_OPACITY_ATTEMPTS, \
+        "opacity slots are one 4-draw RNG group"
 
     N = ro.shape[0]
     t_lower = jnp.zeros((N,), jnp.float32)
@@ -91,20 +93,24 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
     # its candidate is a miss, an opaque-textured accept, or has no opacity
     # texture; settled lanes never re-draw (a fresh draw on the same hit
     # would flip acceptances the oracle already made).
-    g = scene.geom
-    mat = scene.materials
+    from .shadepack import build_uv_opacity_pack
+    uvpack = build_uv_opacity_pack(scene)   # one row gather per attempt
+    # slots (slot_base..slot_base+3) are one pcg4d group (ops/rng.py layout)
+    draws = rng.rand_slots4(seed, pixel, sample_idx, stream, slot_base // 4)
     result = (hit, idx, t, u, v)
     settled = jnp.zeros((N,), bool)
     for attempt in range(cfg.opacity_attempts):
         hit, idx, t, u, v = result
-        mid = mat.tex_index[g.mat_id[idx], TEX_OPACITY]
+        prow = uvpack[idx]
+        mid = prow[:, 6].astype(jnp.int32)
         has_otex = hit & (mid != NO_TEXTURE)
-        uv = interpolate_uv(scene, idx, u, v)
+        w0 = (1.0 - u - v)[:, None]
+        uv = (w0 * prow[:, 0:2] + u[:, None] * prow[:, 2:4]
+              + v[:, None] * prow[:, 4:6])
         texel = sample_texture(scene.textures, mid, uv,
                                jnp.ones((N, 4), jnp.float32), has_otex)
         opacity = texel[:, 0]
-        draw = rng.rand_slot(seed, pixel, sample_idx, stream,
-                             slot_base + attempt)
+        draw = draws[attempt]
         # Reference accepts when Rand() < opacity (pathtracer.cpp:475).
         rejected = ~settled & has_otex & ~(draw < opacity)
         settled = settled | ~rejected

@@ -75,38 +75,66 @@ def pcg4d(a, b, c, d):
     """4-in/4-out pcg4d hash. Inputs broadcastable uint32 arrays (np or jnp)."""
     m = np.uint32(1664525)
     k = np.uint32(1013904223)
-    x = _u32(a) * m + k
-    y = _u32(b) * m + k
-    z = _u32(c) * m + k
-    w = _u32(d) * m + k
-    x = x + y * w
-    y = y + z * x
-    z = z + x * y
-    w = w + y * z
-    x = x ^ (x >> np.uint32(16))
-    y = y ^ (y >> np.uint32(16))
-    z = z ^ (z >> np.uint32(16))
-    w = w ^ (w >> np.uint32(16))
-    x = x + y * w
-    y = y + z * x
-    z = z + x * y
-    w = w + y * z
+    with np.errstate(over="ignore"):  # numpy scalar path: u32 wrap is intended
+        x = _u32(a) * m + k
+        y = _u32(b) * m + k
+        z = _u32(c) * m + k
+        w = _u32(d) * m + k
+        x = x + y * w
+        y = y + z * x
+        z = z + x * y
+        w = w + y * z
+        x = x ^ (x >> np.uint32(16))
+        y = y ^ (y >> np.uint32(16))
+        z = z ^ (z >> np.uint32(16))
+        w = w ^ (w >> np.uint32(16))
+        x = x + y * w
+        y = y + z * x
+        z = z + x * y
+        w = w + y * z
     return x, y, z, w
+
+
+def _to_unit(x):
+    # Top 24 bits -> [0, 1). float32 can represent all 2^24 values exactly.
+    return (x >> np.uint32(8)).astype(np.float32) * np.float32(1.0 / 16777216.0)
 
 
 def rand_uniform(seed, pixel, sample, ctr):
     """One uniform float32 in [0, 1) keyed by (seed, pixel, sample, ctr).
 
-    ``ctr = stream * SLOTS_PER_STREAM + slot``. All arguments broadcast; the
-    result has the broadcast shape, dtype float32. Works identically for numpy
-    and jax inputs (the oracle passes scalars/numpy, the renderer jnp arrays).
+    All arguments broadcast; the result has the broadcast shape, dtype
+    float32. Works identically for numpy and jax inputs (the oracle passes
+    scalars/numpy, the renderer jnp arrays).
     """
     x, _, _, _ = pcg4d(pixel, sample, ctr, seed)
-    # Top 24 bits -> [0, 1). float32 can represent all 2^24 values exactly.
-    return (x >> np.uint32(8)).astype(np.float32) * np.float32(1.0 / 16777216.0)
+    return _to_unit(x)
+
+
+def rand_slots4(seed, pixel, sample, stream, group):
+    """Four uniforms for slots (4g, 4g+1, 4g+2, 4g+3) from ONE pcg4d eval.
+
+    pcg4d's four output words are independently usable (Jarzynski & Olano
+    §3.4), so each hash serves a whole slot *group*. On the TPU VPU — where
+    u32 multiplies are emulated — this quarters the RNG cost of a bounce
+    segment (slots 4-15 are exactly groups 1-3). The slot layout above is
+    grouped so that draws consumed together share a group.
+    """
+    with np.errstate(over="ignore"):
+        ctr = (_u32(stream) * np.uint32(SLOTS_PER_STREAM)
+               + _u32(group) * np.uint32(4))
+    x, y, z, w = pcg4d(pixel, sample, ctr, seed)
+    return _to_unit(x), _to_unit(y), _to_unit(z), _to_unit(w)
 
 
 def rand_slot(seed, pixel, sample, stream, slot):
-    """Convenience wrapper: uniform draw for a (stream, slot) address."""
-    ctr = _u32(stream) * np.uint32(SLOTS_PER_STREAM) + _u32(slot)
-    return rand_uniform(seed, pixel, sample, ctr)
+    """Uniform draw for a (stream, slot) address.
+
+    Routed through the same group hash as ``rand_slots4`` so a renderer that
+    batches draws by group and an oracle that draws slot-by-slot read the
+    *identical* value for every (stream, slot). ``slot`` must be static
+    (python/numpy integer) — every call site uses layout constants.
+    """
+    group = slot // 4
+    sel = int(slot % 4)
+    return rand_slots4(seed, pixel, sample, stream, group)[sel]

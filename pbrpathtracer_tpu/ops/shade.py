@@ -37,8 +37,7 @@ from ..utils.constants import (
     TEX_DIFFUSE, TEX_NORMAL, TEX_EMISSIVE, TEX_ROUGHNESS, TEX_METALLIC,
     NO_TEXTURE,
 )
-from . import rng
-from .hit import interpolate_uv
+from . import rng, shadepack as sp
 from .linalg import dot, reflect, safe_normalize, safe_sqrt
 from .texture import sample_texture
 
@@ -96,28 +95,37 @@ def cone_direction(basis, last_axis, nx, thresh, w, theta):
 
 
 def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
-                        stream, shadow_trace, nee_physical: bool):
+                        stream, shadow_trace, nee_physical: bool,
+                        draws=None):
     """NEE (DirectIllumimation, pathtracer.cpp:504-531).
 
     Uniform light pick, (√u, v) area warp, shadow ray that must FIRST-hit the
     chosen light triangle; contribution = L_emit·I · diffuse · dot(n, l). The
     physical variant adds the area-measure pdf conversion the reference
     omits: × num_lights × area × cos_light / r².
+
+    ``draws`` optionally supplies the (light-pick, u, v) uniforms (slots
+    13-15) when the caller already drew the group.
     """
     L = scene.num_lights
     if L == 0:
         return jnp.zeros_like(p)
-    g, m = scene.geom, scene.materials
 
-    u_pick = rng.rand_slot(seed, pixel, sample_idx, stream, rng.SLOT_NEE_LIGHT)
+    if draws is None:
+        _, u_pick, u_su, sv = rng.rand_slots4(seed, pixel, sample_idx, stream,
+                                              rng.SLOT_NEE_LIGHT // 4)
+    else:
+        u_pick, u_su, sv = draws
     lid = jnp.clip(jnp.floor(u_pick * L).astype(jnp.int32), 0, L - 1)
-    ltri = scene.lights[lid]
+    lrow = sp.build_light_pack(scene)[lid]     # ONE gather for all light data
+    ltri = lrow[:, sp.L_TRI].astype(jnp.int32)
 
-    lv0 = g.v0[ltri]
-    lv1 = lv0 + g.e1[ltri]
-    lv2 = lv0 + g.e2[ltri]
-    su = jnp.sqrt(rng.rand_slot(seed, pixel, sample_idx, stream, rng.SLOT_NEE_U))
-    sv = rng.rand_slot(seed, pixel, sample_idx, stream, rng.SLOT_NEE_V)
+    lv0 = lrow[:, sp.L_V0]
+    le1 = lrow[:, sp.L_E1]
+    le2 = lrow[:, sp.L_E2]
+    lv1 = lv0 + le1
+    lv2 = lv0 + le2
+    su = jnp.sqrt(u_su)
     w0 = 1.0 - su
     w1 = su * (1.0 - sv)
     w2 = su * sv
@@ -131,14 +139,12 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     sh_hit, sh_idx, _, _, _ = shadow_trace(p, l)
     visible = ~(sh_hit & (sh_idx != ltri))  # no-hit counts as visible (:522-526)
 
-    lmid = g.mat_id[ltri]
-    lcolor = m.emissive[lmid] * m.emissive_intensity[lmid][:, None]
-    contrib = lcolor * diffuse * cos_n[:, None]
+    contrib = lrow[:, sp.L_COLOR] * diffuse * cos_n[:, None]
 
     if nee_physical:
-        area = 0.5 * jnp.linalg.norm(jnp.cross(g.e1[ltri], g.e2[ltri]), axis=-1)
+        area = 0.5 * jnp.linalg.norm(jnp.cross(le1, le2), axis=-1)
         r2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-12)
-        ln = safe_normalize(jnp.cross(g.e1[ltri], g.e2[ltri]))
+        ln = safe_normalize(jnp.cross(le1, le2))
         cos_l = jnp.abs(dot(ln, l))
         contrib = contrib * (L * area * cos_l / r2)[:, None] / np.float32(np.pi)
 
@@ -149,28 +155,38 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
                   hit, tri_idx, t, bu, bv,
                   seg, sample_idx, seed, shadow_trace) -> WavefrontState:
     """Advance every lane by one bounce segment. Returns the new state."""
-    g, m, tex = scene.geom, scene.materials, scene.textures
+    tex = scene.textures
     N = state.ro.shape[0]
     stream = rng.bounce_stream(seg)
 
-    def draw(slot):
-        return rng.rand_slot(seed, state.pixel, sample_idx, stream, slot)
+    # Grouped draws: slots 4-15 are exactly pcg4d groups 1-3 (ops/rng.py) —
+    # three hashes for the twelve per-segment decisions.
+    d_rr, d_lobe_sel, w_l, th_l = rng.rand_slots4(
+        seed, state.pixel, sample_idx, stream, rng.SLOT_RR // 4)
+    w_rc, th_rc, d_fresnel, d_refl = rng.rand_slots4(
+        seed, state.pixel, sample_idx, stream, rng.SLOT_REFRACT_CONE_W // 4)
+    d_transl, d_pick, d_nee_u, d_nee_v = rng.rand_slots4(
+        seed, state.pixel, sample_idx, stream, rng.SLOT_TRANSLUCENCY // 4)
 
     active = state.alive & hit
-    mid = g.mat_id[tri_idx]
     rd = state.rd
     p = state.ro + rd * t[:, None]
-    uv = interpolate_uv(scene, tri_idx, bu, bv)
+
+    # ONE row gather serves every triangle+material attribute (shadepack).
+    row = sp.build_tri_pack(scene)[tri_idx]
+    w0 = (1.0 - bu - bv)[:, None]
+    uv = (w0 * row[:, sp.UV0] + bu[:, None] * row[:, sp.UV1]
+          + bv[:, None] * row[:, sp.UV2])  # GetUV (pathtracer.cpp:533-536)
 
     # ---- shading normal (pathtracer.cpp:555-569) ----
-    n = g.normal[tri_idx]
-    w0 = (1.0 - bu - bv)[:, None]
-    smooth_n = safe_normalize(w0 * g.n0[tri_idx] + bu[:, None] * g.n1[tri_idx]
-                              + bv[:, None] * g.n2[tri_idx])
-    n = jnp.where(g.smoothing[tri_idx][:, None], smooth_n, n)
+    n = row[:, sp.NORMAL]
+    smooth_n = safe_normalize(w0 * row[:, sp.N0] + bu[:, None] * row[:, sp.N1]
+                              + bv[:, None] * row[:, sp.N2])
+    n = jnp.where((row[:, sp.SMOOTH] != 0.0)[:, None], smooth_n, n)
 
     if scene.has_any_texture:
-        nt_idx = m.tex_index[mid, TEX_NORMAL]
+        tex_idx = row[:, sp.TEX_IDX].astype(jnp.int32)
+        nt_idx = tex_idx[:, TEX_NORMAL]
         has_ntex = active & (nt_idx != NO_TEXTURE)
         texel = sample_texture(tex, nt_idx, uv,
                                jnp.zeros((N, 4), jnp.float32), has_ntex)
@@ -181,8 +197,8 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
                        nt)
         nt = safe_normalize(nt)
         tbn_n = safe_normalize(
-            nt[:, 0:1] * g.tangent[tri_idx]
-            + nt[:, 1:2] * g.bitangent[tri_idx]
+            nt[:, 0:1] * row[:, sp.TANGENT]
+            + nt[:, 1:2] * row[:, sp.BITANGENT]
             + nt[:, 2:3] * n)
         n = jnp.where(has_ntex[:, None], tbn_n, n)
 
@@ -193,13 +209,14 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     active = active & (state.itr < cfg.max_depth)
 
     # ---- texture overrides (pathtracer.cpp:573-584) ----
-    diffuse = m.diffuse[mid]
-    emiss = m.emissive[mid]
-    roughness = m.roughness[mid]
-    reflectiveness = m.reflectiveness[mid]
+    base_diffuse = row[:, sp.DIFFUSE]
+    diffuse = base_diffuse
+    emiss = row[:, sp.EMISSIVE]
+    roughness = row[:, sp.ROUGHNESS]
+    reflectiveness = row[:, sp.REFLECTIVENESS]
     if scene.has_any_texture:
         def tex_override(slot):
-            ti = m.tex_index[mid, slot]
+            ti = tex_idx[:, slot]
             has = active & (ti != NO_TEXTURE)
             tx = sample_texture(tex, ti, uv, jnp.zeros((N, 4), jnp.float32), has)
             return has, tx
@@ -216,9 +233,9 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     itr = state.itr + 1
 
     # ---- Russian roulette (pathtracer.cpp:588-594) ----
-    prob = jnp.minimum(0.95, jnp.max(m.diffuse[mid], axis=-1))  # untextured!
+    prob = jnp.minimum(0.95, jnp.max(base_diffuse, axis=-1))  # untextured!
     rr_active = depth >= cfg.max_depth
-    rr_kill = rr_active & (draw(rng.SLOT_RR) > prob)
+    rr_kill = rr_active & (d_rr > prob)
     active = active & ~rr_kill
     if cfg.rr_reweight:
         rr_w = jnp.where(rr_active & ~rr_kill,
@@ -230,34 +247,30 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     # ---- lobe directions ----
     r = reflect(rd, n)
     nx = n[:, 0]
-    w_l = draw(rng.SLOT_LOBE_W)
-    th_l = draw(rng.SLOT_LOBE_THETA)
     uniform_dir = cone_direction(n, n, nx, 1.0 - EPS, w_l, th_l)
     glossy_dir = cone_direction(r, r, nx, 1.0 - FLT_EPSILON,
                                 w_l * roughness, th_l)
     spec_dir = jnp.where((roughness == 1.0)[:, None], uniform_dir,
                          jnp.where((roughness == 0.0)[:, None], r, glossy_dir))
 
-    is_opaque = m.mat_type[mid] == OPAQUE
-    op_spec = is_opaque & (draw(rng.SLOT_LOBE_SELECT) < reflectiveness)
+    is_opaque = row[:, sp.MAT_TYPE] == OPAQUE
+    op_spec = is_opaque & (d_lobe_sel < reflectiveness)
 
     # ---- translucent decisions (pathtracer.cpp:643-675) ----
-    w_rc = draw(rng.SLOT_REFRACT_CONE_W)
-    th_rc = draw(rng.SLOT_REFRACT_CONE_THETA)
     refract_n_cone = cone_direction(r, n, nx, 1.0 - FLT_EPSILON,
                                     w_rc * roughness, th_rc)
     refract_n = jnp.where((roughness != 0.0)[:, None], refract_n_cone, n)
-    ior = m.ior[mid]
+    ior = row[:, sp.IOR]
     eta = jnp.where(state.inside, ior, 1.0 / ior)
     r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
     cth = jnp.abs(dot(rd, refract_n))
     k = 1.0 - eta * eta * (1.0 - cth * cth)
     re = r0 + (1.0 - r0) * (1.0 - cth) * (1.0 - cth)  # (1-c)² quirk (:668)
     tr_reflect = ~is_opaque & ((k < 0.0)
-                               | (draw(rng.SLOT_FRESNEL) < re)
-                               | (draw(rng.SLOT_REFLECTIVENESS) < reflectiveness))
+                               | (d_fresnel < re)
+                               | (d_refl < reflectiveness))
     tr_refract = (~is_opaque & ~tr_reflect
-                  & (draw(rng.SLOT_TRANSLUCENCY) < m.translucency[mid]))
+                  & (d_transl < row[:, sp.TRANSLUCENCY]))
     tr_diff = ~is_opaque & ~tr_reflect & ~tr_refract
 
     refr_dir = safe_normalize(
@@ -268,16 +281,17 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     diffuse_branch = (is_opaque & ~op_spec) | tr_diff
     nee = direct_illumination(scene, p, n, diffuse, seed, state.pixel,
                               sample_idx, stream, shadow_trace,
-                              cfg.nee_physical)
+                              cfg.nee_physical,
+                              draws=(d_pick, d_nee_u, d_nee_v))
     nee = jnp.where((active & diffuse_branch)[:, None], nee, 0.0)
 
     # ---- resolve branches ----
     spec_branch = op_spec | tr_reflect
     new_dir = jnp.where(spec_branch[:, None], spec_dir,
                         jnp.where(tr_refract[:, None], refr_dir, uniform_dir))
-    tput_factor = jnp.where(spec_branch[:, None], m.specular[mid], diffuse)
+    tput_factor = jnp.where(spec_branch[:, None], row[:, sp.SPECULAR], diffuse)
 
-    emitted = emiss * m.emissive_intensity[mid][:, None]
+    emitted = emiss * row[:, sp.EMISS_INT][:, None]
     contribution = emitted + nee
     radiance = state.radiance + jnp.where(active[:, None],
                                           throughput * contribution, 0.0)

@@ -1,0 +1,105 @@
+"""Packed per-triangle shading tables — the TPU gather-fusion layer.
+
+Shading one wavefront segment needs ~26 per-lane attribute lookups: nine
+triangle arrays (normals, vertex normals, UVs, smoothing), ten material
+fields through ``mat_id``, and seven more for NEE light sampling. On TPU
+each *distinct* gather costs roughly as much as gathering a 64-wide row
+(the hardware fetches by row), so 26 narrow gathers run ~20x slower than
+one wide one.
+
+This module folds everything shading reads into two precomputed tables:
+
+  * ``tri_pack`` f32[T, 46] — triangle attributes with the material row
+    *pre-joined* per triangle (materials[mat_id] is itself a gather, done
+    once here instead of per lane per segment);
+  * ``light_pack`` f32[L, 13] — light-triangle vertices + premultiplied
+    emissive color + the scene triangle id.
+
+Both are pure functions of the Scene pytree, built inside the traced
+render; XLA's loop-invariant code motion hoists them out of the bounce
+scan, and reverse-mode AD routes cotangents back through the join to the
+original material/geometry leaves (so texture/material optimization is
+unaffected). Integer fields (mat_type, tex_index, light tri id) are stored
+as exact small floats; flags as 0.0/1.0.
+
+Replaces the scattered per-field gathers that mirrored the reference's
+per-hit pointer chasing (pathtracer.cpp:549-584) with one row fetch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ---- tri_pack column layout -------------------------------------------------
+NORMAL = slice(0, 3)       # geometric normal (mesh.cpp:78)
+N0 = slice(3, 6)           # per-vertex shading normals
+N1 = slice(6, 9)
+N2 = slice(9, 12)
+UV0 = slice(12, 14)
+UV1 = slice(14, 16)
+UV2 = slice(16, 18)
+SMOOTH = 18                # smoothing-group flag, 0.0/1.0
+DIFFUSE = slice(19, 22)    # material fields, joined via mat_id
+SPECULAR = slice(22, 25)
+EMISSIVE = slice(25, 28)
+EMISS_INT = 28
+ROUGHNESS = 29
+REFLECTIVENESS = 30
+TRANSLUCENCY = 31
+IOR = 32
+MAT_TYPE = 33              # 0.0 = OPAQUE, 1.0 = TRANSLUCENT
+TEX_IDX = slice(34, 40)    # six texture-slot indices, -1.0 = none
+TANGENT = slice(40, 43)
+BITANGENT = slice(43, 46)
+TRI_PACK_WIDTH = 46
+
+# ---- light_pack column layout ------------------------------------------------
+L_V0 = slice(0, 3)
+L_E1 = slice(3, 6)
+L_E2 = slice(6, 9)
+L_COLOR = slice(9, 12)     # emissive * emissive_intensity, premultiplied
+L_TRI = 12                 # scene triangle index of the light
+LIGHT_PACK_WIDTH = 13
+
+
+def build_tri_pack(scene) -> jnp.ndarray:
+    """f32[T, 46] joined triangle + material shading table."""
+    g, m = scene.geom, scene.materials
+    mid = g.mat_id
+    f32 = jnp.float32
+
+    def col(x):
+        return x.astype(f32)[:, None]
+
+    return jnp.concatenate([
+        g.normal, g.n0, g.n1, g.n2,
+        g.uv0, g.uv1, g.uv2,
+        col(g.smoothing),
+        m.diffuse[mid], m.specular[mid], m.emissive[mid],
+        col(m.emissive_intensity[mid]), col(m.roughness[mid]),
+        col(m.reflectiveness[mid]), col(m.translucency[mid]),
+        col(m.ior[mid]), col(m.mat_type[mid]),
+        m.tex_index[mid].astype(f32),
+        g.tangent, g.bitangent,
+    ], axis=1)
+
+
+def build_light_pack(scene) -> jnp.ndarray:
+    """f32[L, 13] light-sampling table (pathtracer.cpp:504-531 inputs)."""
+    g, m = scene.geom, scene.materials
+    lt = scene.lights
+    lmid = g.mat_id[lt]
+    lcolor = m.emissive[lmid] * m.emissive_intensity[lmid][:, None]
+    return jnp.concatenate([
+        g.v0[lt], g.e1[lt], g.e2[lt], lcolor,
+        lt.astype(jnp.float32)[:, None],
+    ], axis=1)
+
+
+def build_uv_opacity_pack(scene) -> jnp.ndarray:
+    """f32[T, 7] = (uv0, uv1, uv2, opacity tex index) for the stochastic
+    alpha re-trace loop (ops/hit.py)."""
+    from ..utils.constants import TEX_OPACITY
+    g, m = scene.geom, scene.materials
+    otex = m.tex_index[g.mat_id, TEX_OPACITY].astype(jnp.float32)
+    return jnp.concatenate([g.uv0, g.uv1, g.uv2, otex[:, None]], axis=1)

@@ -107,7 +107,7 @@ def test_fit_recovers_perturbed_albedo():
     # noise realization makes the loss a clean optimization signal at tiny
     # spp (with per-step reseeding the MC noise floor at 2 spp dwarfs the
     # parameter error).
-    res = fit(scene_p, CAM, cfg, target, steps=30, lr=4e-2,
+    res = fit(scene_p, CAM, cfg, target, steps=40, lr=4e-2,
               sample_offset_per_step=False)
     assert res.losses[-1] < res.losses[0] * 0.15, res.losses[::10]
     rec = np.asarray(res.params["mat.diffuse"])[1]
