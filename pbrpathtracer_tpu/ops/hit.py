@@ -93,7 +93,7 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
     # its candidate is a miss, an opaque-textured accept, or has no opacity
     # texture; settled lanes never re-draw (a fresh draw on the same hit
     # would flip acceptances the oracle already made).
-    from .shadepack import build_uv_opacity_pack
+    from .shadepack import build_uv_opacity_pack, gather_rows
     uvpack = build_uv_opacity_pack(scene)   # one row gather per attempt
     # slots (slot_base..slot_base+3) are one pcg4d group (ops/rng.py layout)
     draws = rng.rand_slots4(seed, pixel, sample_idx, stream, slot_base // 4)
@@ -101,7 +101,7 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
     settled = jnp.zeros((N,), bool)
     for attempt in range(cfg.opacity_attempts):
         hit, idx, t, u, v = result
-        prow = uvpack[idx]
+        prow = gather_rows(uvpack, idx)
         mid = prow[:, 6].astype(jnp.int32)
         has_otex = hit & (mid != NO_TEXTURE)
         w0 = (1.0 - u - v)[:, None]

@@ -117,12 +117,11 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     else:
         u_pick, u_su, sv = draws
     lid = jnp.clip(jnp.floor(u_pick * L).astype(jnp.int32), 0, L - 1)
-    lrow = sp.build_light_pack(scene)[lid]     # ONE gather for all light data
-    ltri = lrow[:, sp.L_TRI].astype(jnp.int32)
+    # ONE gather for all light data (MXU scatter on the way back)
+    lrow = sp.gather_rows(sp.build_light_pack(scene), lid)
+    lv0, le1, le2, lcolor, ltri_f = sp.unpack(lrow, sp.LIGHT_FIELDS)
+    ltri = ltri_f.astype(jnp.int32)
 
-    lv0 = lrow[:, sp.L_V0]
-    le1 = lrow[:, sp.L_E1]
-    le2 = lrow[:, sp.L_E2]
     lv1 = lv0 + le1
     lv2 = lv0 + le2
     su = jnp.sqrt(u_su)
@@ -139,7 +138,7 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     sh_hit, sh_idx, _, _, _ = shadow_trace(p, l)
     visible = ~(sh_hit & (sh_idx != ltri))  # no-hit counts as visible (:522-526)
 
-    contrib = lrow[:, sp.L_COLOR] * diffuse * cos_n[:, None]
+    contrib = lcolor * diffuse * cos_n[:, None]
 
     if nee_physical:
         area = 0.5 * jnp.linalg.norm(jnp.cross(le1, le2), axis=-1)
@@ -172,20 +171,26 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     rd = state.rd
     p = state.ro + rd * t[:, None]
 
-    # ONE row gather serves every triangle+material attribute (shadepack).
-    row = sp.build_tri_pack(scene)[tri_idx]
+    # ONE row gather serves every triangle+material attribute (shadepack);
+    # its backward is an MXU one-hot matmul for small tables, and the
+    # unpack's backward is one concatenate (not 20 pad+add passes).
+    row = sp.gather_rows(sp.build_tri_pack(scene), tri_idx)
+    (f_normal, f_n0, f_n1, f_n2, f_uv0, f_uv1, f_uv2, f_smooth,
+     f_diffuse, f_specular, f_emissive, f_emiss_int, f_roughness,
+     f_reflectiveness, f_transl, f_ior, f_mtype, f_texidx,
+     f_tangent, f_bitangent) = sp.unpack(row, sp.TRI_FIELDS)
     w0 = (1.0 - bu - bv)[:, None]
-    uv = (w0 * row[:, sp.UV0] + bu[:, None] * row[:, sp.UV1]
-          + bv[:, None] * row[:, sp.UV2])  # GetUV (pathtracer.cpp:533-536)
+    uv = (w0 * f_uv0 + bu[:, None] * f_uv1
+          + bv[:, None] * f_uv2)  # GetUV (pathtracer.cpp:533-536)
 
     # ---- shading normal (pathtracer.cpp:555-569) ----
-    n = row[:, sp.NORMAL]
-    smooth_n = safe_normalize(w0 * row[:, sp.N0] + bu[:, None] * row[:, sp.N1]
-                              + bv[:, None] * row[:, sp.N2])
-    n = jnp.where((row[:, sp.SMOOTH] != 0.0)[:, None], smooth_n, n)
+    n = f_normal
+    smooth_n = safe_normalize(w0 * f_n0 + bu[:, None] * f_n1
+                              + bv[:, None] * f_n2)
+    n = jnp.where((f_smooth != 0.0)[:, None], smooth_n, n)
 
     if scene.has_any_texture:
-        tex_idx = row[:, sp.TEX_IDX].astype(jnp.int32)
+        tex_idx = f_texidx.astype(jnp.int32)
         nt_idx = tex_idx[:, TEX_NORMAL]
         has_ntex = active & (nt_idx != NO_TEXTURE)
         texel = sample_texture(tex, nt_idx, uv,
@@ -197,8 +202,8 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
                        nt)
         nt = safe_normalize(nt)
         tbn_n = safe_normalize(
-            nt[:, 0:1] * row[:, sp.TANGENT]
-            + nt[:, 1:2] * row[:, sp.BITANGENT]
+            nt[:, 0:1] * f_tangent
+            + nt[:, 1:2] * f_bitangent
             + nt[:, 2:3] * n)
         n = jnp.where(has_ntex[:, None], tbn_n, n)
 
@@ -209,11 +214,11 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     active = active & (state.itr < cfg.max_depth)
 
     # ---- texture overrides (pathtracer.cpp:573-584) ----
-    base_diffuse = row[:, sp.DIFFUSE]
+    base_diffuse = f_diffuse
     diffuse = base_diffuse
-    emiss = row[:, sp.EMISSIVE]
-    roughness = row[:, sp.ROUGHNESS]
-    reflectiveness = row[:, sp.REFLECTIVENESS]
+    emiss = f_emissive
+    roughness = f_roughness
+    reflectiveness = f_reflectiveness
     if scene.has_any_texture:
         def tex_override(slot):
             ti = tex_idx[:, slot]
@@ -253,14 +258,14 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     spec_dir = jnp.where((roughness == 1.0)[:, None], uniform_dir,
                          jnp.where((roughness == 0.0)[:, None], r, glossy_dir))
 
-    is_opaque = row[:, sp.MAT_TYPE] == OPAQUE
+    is_opaque = f_mtype == OPAQUE
     op_spec = is_opaque & (d_lobe_sel < reflectiveness)
 
     # ---- translucent decisions (pathtracer.cpp:643-675) ----
     refract_n_cone = cone_direction(r, n, nx, 1.0 - FLT_EPSILON,
                                     w_rc * roughness, th_rc)
     refract_n = jnp.where((roughness != 0.0)[:, None], refract_n_cone, n)
-    ior = row[:, sp.IOR]
+    ior = f_ior
     eta = jnp.where(state.inside, ior, 1.0 / ior)
     r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
     cth = jnp.abs(dot(rd, refract_n))
@@ -270,7 +275,7 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
                                | (d_fresnel < re)
                                | (d_refl < reflectiveness))
     tr_refract = (~is_opaque & ~tr_reflect
-                  & (d_transl < row[:, sp.TRANSLUCENCY]))
+                  & (d_transl < f_transl))
     tr_diff = ~is_opaque & ~tr_reflect & ~tr_refract
 
     refr_dir = safe_normalize(
@@ -289,9 +294,9 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     spec_branch = op_spec | tr_reflect
     new_dir = jnp.where(spec_branch[:, None], spec_dir,
                         jnp.where(tr_refract[:, None], refr_dir, uniform_dir))
-    tput_factor = jnp.where(spec_branch[:, None], row[:, sp.SPECULAR], diffuse)
+    tput_factor = jnp.where(spec_branch[:, None], f_specular, diffuse)
 
-    emitted = emiss * row[:, sp.EMISS_INT][:, None]
+    emitted = emiss * f_emiss_int[:, None]
     contribution = emitted + nee
     radiance = state.radiance + jnp.where(active[:, None],
                                           throughput * contribution, 0.0)

@@ -28,7 +28,45 @@ per-hit pointer chasing (pathtracer.cpp:549-584) with one row fetch.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Scatter-add (the VJP of a row gather) is serialized on TPU — measured
+# ~90 ms of a 165 ms fwd+bwd pass for the Cornell workload. For small
+# tables the same reduction is a one-hot matmul riding the MXU
+# (cot_table = onehot(idx)^T @ cot_rows, contraction over the big N dim =
+# full systolic utilization): ~0.2 ms. The onehot is materialized [N, T]
+# f32, so gate by table height; large tables keep the native scatter.
+MATMUL_SCATTER_MAX_T = 256
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` with a TPU-fast backward for small tables.
+
+    Forward is a plain row gather. Backward for T <= MATMUL_SCATTER_MAX_T
+    computes the row-cotangent reduction as onehot^T @ cot on the MXU
+    (f32-exact via HIGHEST) instead of a serialized scatter-add.
+    """
+    T = table.shape[0]
+    if T > MATMUL_SCATTER_MAX_T:
+        return table[idx]
+
+    @jax.custom_vjp
+    def g(tab, i):
+        return tab[i]
+
+    def fwd(tab, i):
+        return tab[i], i
+
+    def bwd(i, cot):
+        oh = (i[:, None] == jnp.arange(T, dtype=i.dtype)[None, :])
+        d_tab = jnp.dot(oh.astype(cot.dtype).T, cot,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        return d_tab, None
+
+    g.defvjp(fwd, bwd)
+    return g(table, idx)
 
 # ---- tri_pack column layout -------------------------------------------------
 NORMAL = slice(0, 3)       # geometric normal (mesh.cpp:78)
@@ -53,6 +91,12 @@ TANGENT = slice(40, 43)
 BITANGENT = slice(43, 46)
 TRI_PACK_WIDTH = 46
 
+# ordered, disjoint, covering — required by unpack()'s concat backward
+TRI_FIELDS = (NORMAL, N0, N1, N2, UV0, UV1, UV2, SMOOTH,
+              DIFFUSE, SPECULAR, EMISSIVE, EMISS_INT, ROUGHNESS,
+              REFLECTIVENESS, TRANSLUCENCY, IOR, MAT_TYPE, TEX_IDX,
+              TANGENT, BITANGENT)
+
 # ---- light_pack column layout ------------------------------------------------
 L_V0 = slice(0, 3)
 L_E1 = slice(3, 6)
@@ -60,6 +104,35 @@ L_E2 = slice(6, 9)
 L_COLOR = slice(9, 12)     # emissive * emissive_intensity, premultiplied
 L_TRI = 12                 # scene triangle index of the light
 LIGHT_PACK_WIDTH = 13
+
+LIGHT_FIELDS = (L_V0, L_E1, L_E2, L_COLOR, L_TRI)
+
+
+def unpack(row: jnp.ndarray, fields) -> tuple:
+    """Split a gathered row block into per-field arrays, with a backward
+    that is ONE concatenate.
+
+    Autodiff's reverse of k slices is k pad+add passes over the full
+    [N, W] cotangent — measured ~6 ms per segment for the 20-field tri
+    pack. The fields are disjoint slices covering the row, so the exact
+    VJP is a single concatenation of the field cotangents.
+
+    ``fields`` is a list of (slice | int); ints yield [N] arrays.
+    """
+
+    @jax.custom_vjp
+    def f(r):
+        return tuple(r[:, s] for s in fields)
+
+    def fwd(r):
+        return f(r), None
+
+    def bwd(_, cots):
+        parts = [c[:, None] if c.ndim == 1 else c for c in cots]
+        return (jnp.concatenate(parts, axis=1),)
+
+    f.defvjp(fwd, bwd)
+    return f(row)
 
 
 def build_tri_pack(scene) -> jnp.ndarray:
