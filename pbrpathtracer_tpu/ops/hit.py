@@ -93,20 +93,20 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
     # its candidate is a miss, an opaque-textured accept, or has no opacity
     # texture; settled lanes never re-draw (a fresh draw on the same hit
     # would flip acceptances the oracle already made).
-    from .shadepack import build_uv_opacity_pack, gather_rows
-    uvpack = build_uv_opacity_pack(scene)   # one row gather per attempt
+    from .shadepack import build_uv_opacity_pack, gather_fields
+    uvpack = build_uv_opacity_pack(scene)   # one row fetch per attempt
+    uvfields = (slice(0, 2), slice(2, 4), slice(4, 6), 6)
     # slots (slot_base..slot_base+3) are one pcg4d group (ops/rng.py layout)
     draws = rng.rand_slots4(seed, pixel, sample_idx, stream, slot_base // 4)
     result = (hit, idx, t, u, v)
     settled = jnp.zeros((N,), bool)
     for attempt in range(cfg.opacity_attempts):
         hit, idx, t, u, v = result
-        prow = gather_rows(uvpack, idx)
-        mid = prow[:, 6].astype(jnp.int32)
+        p_uv0, p_uv1, p_uv2, p_otex = gather_fields(uvpack, idx, uvfields)
+        mid = p_otex.astype(jnp.int32)
         has_otex = hit & (mid != NO_TEXTURE)
         w0 = (1.0 - u - v)[:, None]
-        uv = (w0 * prow[:, 0:2] + u[:, None] * prow[:, 2:4]
-              + v[:, None] * prow[:, 4:6])
+        uv = w0 * p_uv0 + u[:, None] * p_uv1 + v[:, None] * p_uv2
         texel = sample_texture(scene.textures, mid, uv,
                                jnp.ones((N, 4), jnp.float32), has_otex)
         opacity = texel[:, 0]

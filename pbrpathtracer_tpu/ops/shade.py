@@ -117,9 +117,9 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     else:
         u_pick, u_su, sv = draws
     lid = jnp.clip(jnp.floor(u_pick * L).astype(jnp.int32), 0, L - 1)
-    # ONE gather for all light data (MXU scatter on the way back)
-    lrow = sp.gather_rows(sp.build_light_pack(scene), lid)
-    lv0, le1, le2, lcolor, ltri_f = sp.unpack(lrow, sp.LIGHT_FIELDS)
+    # ONE fields-on-sublanes fetch for all light data (MXU both ways)
+    lv0, le1, le2, lcolor, ltri_f = sp.gather_fields(
+        sp.build_light_pack(scene), lid, sp.LIGHT_FIELDS)
     ltri = ltri_f.astype(jnp.int32)
 
     lv1 = lv0 + le1
@@ -171,14 +171,14 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     rd = state.rd
     p = state.ro + rd * t[:, None]
 
-    # ONE row gather serves every triangle+material attribute (shadepack);
-    # its backward is an MXU one-hot matmul for small tables, and the
-    # unpack's backward is one concatenate (not 20 pad+add passes).
-    row = sp.gather_rows(sp.build_tri_pack(scene), tri_idx)
+    # ONE fields-on-sublanes fetch serves every triangle+material
+    # attribute (shadepack.gather_fields): forward and backward are both
+    # MXU one-hot matmuls, and fields come out as free sublane slices.
     (f_normal, f_n0, f_n1, f_n2, f_uv0, f_uv1, f_uv2, f_smooth,
      f_diffuse, f_specular, f_emissive, f_emiss_int, f_roughness,
      f_reflectiveness, f_transl, f_ior, f_mtype, f_texidx,
-     f_tangent, f_bitangent) = sp.unpack(row, sp.TRI_FIELDS)
+     f_tangent, f_bitangent) = sp.gather_fields(
+         sp.build_tri_pack(scene), tri_idx, sp.TRI_FIELDS)
     w0 = (1.0 - bu - bv)[:, None]
     uv = (w0 * f_uv0 + bu[:, None] * f_uv1
           + bv[:, None] * f_uv2)  # GetUV (pathtracer.cpp:533-536)
