@@ -11,10 +11,16 @@ reports one JSON line per rung. Heavier rungs scale down via --quick.
 
 import argparse
 import json
+import os
+import sys
 import time
 import warnings
 
 warnings.filterwarnings("ignore")
+
+# Runnable from anywhere: put the repo root on sys.path (also covered by
+# `pip install -e .` via pyproject.toml).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_rung(name, fn):

@@ -25,7 +25,13 @@ def _traverse_one(bvh_arrays, tris, leaf_size, ro, rd, t_lower):
     bmin, bmax, first, count, escape, perm = bvh_arrays
     v0, e1, e2 = tris
     M = first.shape[0]
-    inv_rd = 1.0 / rd   # ±inf on zero components — IEEE slab test handles it
+    # NaN-robust slabs: clamp |rd| >= TINY so (bound-ro)*inv_rd is never
+    # 0*inf = NaN (rd==0 with the origin exactly on a node plane would
+    # propagate NaN through min/max and wrongly cull the node).
+    TINY = jnp.float32(1e-30)
+    rd_safe = jnp.where(jnp.abs(rd) < TINY,
+                        jnp.where(rd < 0.0, -TINY, TINY), rd)
+    inv_rd = 1.0 / rd_safe
 
     def cond(c):
         return c[0] < M

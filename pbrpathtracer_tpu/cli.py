@@ -30,7 +30,11 @@ def _add_render_args(p):
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intersector", default="auto",
-                   choices=["auto", "matmul", "classic", "bvh"])
+                   choices=["auto", "pallas", "matmul", "classic", "bvh"])
+    p.add_argument("--aspect", type=float, default=None,
+                   help="viewport aspect ratio for .pts scenes with autoRes "
+                        "(keeps the stored pixel budget, matches this aspect "
+                        "— main.cpp autoRes semantics)")
 
 
 def _builtin_scene(name):
@@ -60,9 +64,16 @@ def _load_any(args):
         if settings["missing_objects"]:
             raise SystemExit(
                 f"error: missing OBJ assets: {settings['missing_objects']}")
+        width, height = settings["width"], settings["height"]
+        # autoRes (main.cpp:1463-1512): resolution follows the viewport.
+        # Headless: keep the stored pixel budget, match --aspect.
+        if settings["auto_res"] and getattr(args, "aspect", None) \
+                and not (args.width or args.height):
+            from .utils.observability import auto_resolution
+            width, height = auto_resolution(width, height, args.aspect)
         cfg = RenderConfig(
-            width=args.width or settings["width"],
-            height=args.height or settings["height"],
+            width=args.width or width,
+            height=args.height or height,
             max_depth=args.depth or settings["trace_depth"],
             spp=args.spp, seed=args.seed, intersector=args.intersector)
         return editor.build_scene(), editor.tracer_camera(), cfg

@@ -60,9 +60,14 @@ from ..utils.constants import EPS
 
 BIG = np.float32(3.0e38)
 MAX_CHUNK = 512    # max triangles per grid step (cull granularity)
-# TILE*CHUNK pair-block budget: Mosaic keeps ~16 f32 [CHUNK, TILE]
-# temporaries live (h, s, q, numerators, u/v/t, masks), which must fit
-# VMEM (16 MB/core) with headroom for accumulators + triangle rows.
+# TILE*CHUNK pair-block budget. At 256K f32 elements the ~16 live
+# [CHUNK, TILE] temporaries (h, s, q, numerators, u/v/t, masks) total
+# ~16 MB — nominally the whole 16 MB/core VMEM, but several temporaries
+# are i1 masks and Mosaic's liveness analysis frees the cross-product
+# terms before the acceptance tests, so the measured peak fits with room
+# for the accumulators + triangle rows (validated on-chip: bit-exact vs
+# the jnp intersectors at this setting). If a Mosaic update regresses
+# liveness, drop this to 192K first.
 PAIR_BUDGET = 256 * 1024
 INT_BIG = np.int32(2 ** 31 - 1)
 
@@ -94,7 +99,14 @@ def _kernel(CHUNK, TILE, r_ref, w_ref, box_ref, of_ref, oi_ref):
     row = box_ref[pl.ds(j, 1), :]     # [1, 8] dynamic row of the box table
     lo = row[0, 0:3]                  # [3]
     hi = row[0, 4:7]
-    ird = 1.0 / rd3                   # +/-inf on zero components (IEEE slabs)
+    # NaN-robust slabs: a literal 1/rd gives (lo-ro)*inf = NaN when rd==0
+    # AND the origin sits exactly on the slab plane, which would wrongly
+    # cull the chunk. Clamping |rd| >= TINY keeps every product finite-or-inf
+    # (never 0*inf) with identical accept/reject decisions otherwise.
+    TINY = np.float32(1e-30)
+    rd_safe = jnp.where(jnp.abs(rd3) < TINY,
+                        jnp.where(rd3 < 0.0, -TINY, TINY), rd3)
+    ird = 1.0 / rd_safe
     t1 = (lo[:, None] - ro3) * ird
     t2 = (hi[:, None] - ro3) * ird
     tn = jnp.max(jnp.minimum(t1, t2), axis=0, keepdims=True)   # [1, TILE]

@@ -81,6 +81,9 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
         intersect_fn = _select_intersector(scene, cfg)
     assert cfg.opacity_attempts <= rng.MAX_OPACITY_ATTEMPTS, \
         "opacity slots are one 4-draw RNG group"
+    # draws[attempt] below reads slot 4*(slot_base//4)+attempt — only equal
+    # to the oracle's rand_slot(slot_base+attempt) when the base is aligned.
+    assert slot_base % 4 == 0, "opacity slot base must be group-aligned"
 
     N = ro.shape[0]
     t_lower = jnp.zeros((N,), jnp.float32)

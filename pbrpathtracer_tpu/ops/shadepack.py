@@ -24,6 +24,10 @@ as exact small floats; flags as 0.0/1.0.
 
 Replaces the scattered per-field gathers that mirrored the reference's
 per-hit pointer chasing (pathtracer.cpp:549-584) with one row fetch.
+
+CONSTRAINT: gather_rows/gather_fields/unpack use ``jax.custom_vjp``, so the
+shading path is reverse-mode only — ``jax.jvp``/``jacfwd`` through it raise.
+All framework gradients (fit, grad_render, FD checks) are reverse-mode.
 """
 
 from __future__ import annotations
@@ -199,6 +203,9 @@ def unpack(row: jnp.ndarray, fields) -> tuple:
 def build_tri_pack(scene) -> jnp.ndarray:
     """f32[T, 46] joined triangle + material shading table."""
     g, m = scene.geom, scene.materials
+    # Integer ids ride as f32 sublanes — exact only below 2^24.
+    assert g.v0.shape[0] < 2 ** 24, "tri ids stored as f32 in the pack"
+    assert m.tex_index.shape[0] < 2 ** 24, "texture ids stored as f32"
     mid = g.mat_id
     f32 = jnp.float32
 
@@ -221,6 +228,7 @@ def build_tri_pack(scene) -> jnp.ndarray:
 def build_light_pack(scene) -> jnp.ndarray:
     """f32[L, 13] light-sampling table (pathtracer.cpp:504-531 inputs)."""
     g, m = scene.geom, scene.materials
+    assert g.v0.shape[0] < 2 ** 24, "light tri ids stored as f32 in the pack"
     lt = scene.lights
     lmid = g.mat_id[lt]
     lcolor = m.emissive[lmid] * m.emissive_intensity[lmid][:, None]
