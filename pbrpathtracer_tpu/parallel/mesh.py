@@ -28,8 +28,14 @@ def make_mesh(devices=None, axis_name: str = RAYS_AXIS) -> Mesh:
 
 
 def ray_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (pixel/ray) dimension across the mesh."""
-    return NamedSharding(mesh, P(RAYS_AXIS))
+    """Shard the leading (pixel/ray) dimension across EVERY mesh axis.
+
+    For the 1-D ``rays`` mesh this is P("rays"); for the multi-host
+    ("host", "device") mesh (dist/multihost.py) the pixel dimension is
+    sharded over both axes so each host computes a contiguous stripe and
+    each of its chips a sub-stripe — shard boundaries align with hosts,
+    keeping the image assembly a pure DCN gather with no ICI reshuffle."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
