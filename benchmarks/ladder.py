@@ -68,6 +68,10 @@ def main():
 
     if 2 in rungs:
         def rung2():
+            from pbrpathtracer_tpu.diff.loss import (l2_image_loss,
+                                                     finite_difference_grad)
+            from pbrpathtracer_tpu.diff.params import get_params
+
             scene = builders.cornell_spheres_scene()
             spp = 4 if quick else 16
             cfg = RenderConfig(width=256, height=256, max_depth=3, spp=spp)
@@ -76,8 +80,51 @@ def main():
             gr = np.asarray(g["mat.roughness"])
             ga = np.asarray(g["mat.diffuse"])
             assert np.isfinite(gr).all() and np.isfinite(ga).all()
+
+            # FD cross-check (BASELINE config 2: gradients wrt roughness /
+            # albedo must MATCH finite differences, not merely be finite).
+            # Smaller render keeps the extra FD evals tractable; the keyed
+            # RNG makes the loss deterministic, so AD and central FD see
+            # the identical function.
+            #
+            # * diffuse: NON-max channel of the glossy sphere (the max
+            #   channel drives RR survival, whose score-function term the
+            #   pathwise estimator deliberately omits) — strict <1% match.
+            # * roughness: magnitude floor only. Its continuous influence
+            #   is tiny BY THE REFERENCE'S OWN SEMANTICS (NEE has no 1/r²
+            #   falloff and shading is flat per triangle, so radiance is
+            #   piecewise constant in the reflected hit point); FD at any
+            #   eps measures discrete hit-flip noise (measured: sign flips
+            #   between eps=2e-3 and 1e-2), not the pathwise derivative AD
+            #   computes. The floor guards against a severed chain: a
+            #   silently-zeroed glossy-cone path yields exactly 0.0.
+            fcfg = RenderConfig(width=64, height=64, max_depth=3, spp=4,
+                                seed=3)
+            ftarget = jnp.zeros((64, 64, 3), jnp.float32)
+            params = get_params(scene, cam, materials=True)
+            lossf = jax.jit(lambda p: l2_image_loss(p, scene, cam, fcfg,
+                                                    ftarget))
+            adg = jax.jit(jax.grad(lambda p: l2_image_loss(
+                p, scene, cam, fcfg, ftarget)))(params)
+            checks = {}
+            key, idx = "mat.diffuse", 6 * 3 + 1   # mat 6, channel G
+            ad = float(np.asarray(adg[key]).reshape(-1)[idx])
+            fd = float(finite_difference_grad(
+                lossf, params, key, eps=2e-3, indices=[idx]).reshape(-1)[idx])
+            rel = abs(ad - fd) / max(abs(fd), 1e-12)
+            assert ad != 0.0, f"{key}[{idx}] AD gradient is exactly zero"
+            assert rel < 0.01, (f"{key}[{idx}]: AD {ad:.3e} vs FD "
+                                f"{fd:.3e} (rel {rel:.3%} > 1%)")
+            checks[f"{key}[{idx}]"] = {"ad": ad, "fd": fd, "rel": rel}
+            ad_rough = float(np.asarray(adg["mat.roughness"])[6])
+            assert abs(ad_rough) > 1e-5, (
+                f"glossy-cone gradient chain severed: d loss/d roughness "
+                f"= {ad_rough:.3e}")
+            checks["mat.roughness[6]"] = {"ad": ad_rough,
+                                          "check": "magnitude floor 1e-5"}
             return {"loss": float(loss),
                     "grad_roughness_norm": float(np.abs(gr).sum()),
+                    "fd_checks": checks,
                     "tris": scene.num_triangles}
         run_rung("2-spheres-grads", rung2)
 
@@ -96,8 +143,35 @@ def main():
                                   textures=True)
             gt = np.asarray(g["tex.data"])
             assert np.isfinite(gt).all() and np.abs(gt).max() > 0
+
+            # FD probe of the 3 texels with the largest AD gradient
+            # (BASELINE config 3: texture grads must match FD). Small
+            # render so each of the 6 extra evals stays cheap.
+            from pbrpathtracer_tpu.diff.loss import (l2_image_loss,
+                                                     finite_difference_grad)
+            from pbrpathtracer_tpu.diff.params import get_params
+            fcfg = RenderConfig(width=64, height=64, max_depth=2, spp=1,
+                                seed=5)
+            ftarget = jnp.zeros((64, 64, 3), jnp.float32)
+            params = get_params(scene, mcam, materials=False, textures=True)
+            lossf = jax.jit(lambda p: l2_image_loss(p, scene, mcam, fcfg,
+                                                    ftarget))
+            adt = np.asarray(jax.jit(jax.grad(lambda p: l2_image_loss(
+                p, scene, mcam, fcfg, ftarget)))(params)["tex.data"])
+            flat = np.abs(adt).reshape(-1)
+            top = np.argsort(flat)[-3:].tolist()
+            fd = finite_difference_grad(lossf, params, "tex.data", eps=5e-3,
+                                        indices=top).reshape(-1)
+            texel_checks = {}
+            for i in top:
+                ad_i, fd_i = float(adt.reshape(-1)[i]), float(fd[i])
+                rel = abs(ad_i - fd_i) / max(abs(fd_i), 1e-12)
+                assert ad_i != 0.0, f"texel {i}: AD gradient exactly zero"
+                assert rel < 0.01, (f"texel {i}: AD {ad_i:.3e} vs FD "
+                                    f"{fd_i:.3e} (rel {rel:.3%} > 1%)")
+                texel_checks[str(i)] = {"ad": ad_i, "fd": fd_i, "rel": rel}
             return {"tris": scene.num_triangles, "mean": float(img.mean()),
-                    "tex_grad_nonzero": True}
+                    "texel_fd_checks": texel_checks}
         run_rung("3-mesh50k-texgrads", rung3)
 
     if 4 in rungs:
@@ -135,8 +209,37 @@ def main():
             mesh = make_mesh(devs)
             img = np.asarray(render_sharded(scene, mcam, cfg, mesh=mesh))
             assert np.isfinite(img).all()
+
+            # short sharded inverse-rendering fit (BASELINE config 5)
+            import optax
+            from pbrpathtracer_tpu.parallel.mesh import (ray_sharding,
+                                                         replicated)
+            from pbrpathtracer_tpu.parallel.render import make_train_step
+            from pbrpathtracer_tpu.diff.params import get_params
+            fit_size = 64 if quick else 256
+            fcfg = RenderConfig(width=fit_size, height=fit_size, max_depth=2,
+                                spp=1)
+            params = get_params(scene, mcam, materials=True)
+            opt = optax.adam(1e-2)
+            opt_state = opt.init(params)
+            step = make_train_step(scene, mcam, fcfg, opt, mesh)
+            pixel_idx = jax.device_put(
+                jnp.arange(fcfg.num_pixels, dtype=jnp.int32),
+                ray_sharding(mesh))
+            ftarget = jax.device_put(
+                jnp.full((fcfg.num_pixels, 3), 0.2, jnp.float32),
+                ray_sharding(mesh))
+            params = jax.device_put(params, replicated(mesh))
+            opt_state = jax.device_put(opt_state, replicated(mesh))
+            losses = []
+            for s in range(2):
+                params, opt_state, l = step(params, opt_state, scene, mcam,
+                                            pixel_idx, ftarget,
+                                            jnp.uint32(s))
+                losses.append(float(l))
+            assert all(np.isfinite(losses))
             return {"tris": scene.num_triangles, "devices": len(devs),
-                    "mean": float(img.mean())}
+                    "mean": float(img.mean()), "fit_losses": losses}
         run_rung("5-million-sharded", rung5)
 
 

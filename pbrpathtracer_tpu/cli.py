@@ -35,6 +35,11 @@ def _add_render_args(p):
                    help="viewport aspect ratio for .pts scenes with autoRes "
                         "(keeps the stored pixel budget, matches this aspect "
                         "— main.cpp autoRes semantics)")
+    p.add_argument("--auto-segments", action="store_true",
+                   help="size the wavefront segment cap from the scene's RR "
+                        "survival statistics (bounds specular-chain "
+                        "truncation bias below 1e-3; see "
+                        "engine.config.suggest_max_segments)")
 
 
 def _builtin_scene(name):
@@ -92,6 +97,8 @@ def cmd_render(args):
     import numpy as np
     from .api import export_png, render
     scene, camera, cfg = _load_any(args)
+    if getattr(args, "auto_segments", False):
+        cfg = cfg.with_auto_segments(scene)
     t0 = time.time()
     img = np.asarray(render(scene, camera, cfg))
     dt = time.time() - t0

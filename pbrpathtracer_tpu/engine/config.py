@@ -43,10 +43,19 @@ class RenderConfig:
     # backward instead of replaying the O(N*T) query; required for
     # differentiating through the BVH walk (while_loop has no reverse rule).
     custom_hit_vjp: bool = True
+    # Rematerialization of the bounce-segment body under reverse AD:
+    #   "hits" (default) — recompute shading in the backward pass but keep
+    #   the closest-hit query outputs as residuals (cheap [N] rows; skips
+    #   re-running the intersection kernels);
+    #   "all" — plain jax.checkpoint (recompute everything);
+    #   "off" — stash all residuals (XLA default; measured 1.5-1.9x slower
+    #   fwd+bwd on the 512² Cornell workload, see ops/integrator.py).
+    remat_segments: str = "hits"
+
     # Structurally skip bounce segments once every lane is dead (lax.cond).
-    # Big win for forward renders with dead tails. The BVH path ignores it:
-    # lax.cond around a while_loop trips an MLIR constant-lowering bug under
-    # grad on this JAX version (see ops/integrator.py).
+    # Big win for renders with dead tails (all routes, incl. BVH — the old
+    # cond-around-while_loop MLIR lowering bug is fixed on this JAX
+    # version; regression-pinned in tests/test_bvh.py).
     skip_dead_segments: bool = True
 
     def resolved_max_segments(self) -> int:
@@ -54,9 +63,49 @@ class RenderConfig:
             return self.max_segments
         return 2 * self.max_depth + 2
 
+    def with_auto_segments(self, scene, tol: float = 1e-3) -> "RenderConfig":
+        """Replace max_segments with suggest_max_segments(scene, ...)."""
+        return self.replace(max_segments=suggest_max_segments(
+            scene, self.max_depth, tol=tol))
+
     @property
     def num_pixels(self) -> int:
         return self.width * self.height
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def suggest_max_segments(scene, max_depth: int, tol: float = 1e-3,
+                         hard_cap: int = 128) -> int:
+    """Auto-size the wavefront segment cap from RR survival statistics.
+
+    The reference's specular/refraction bounces refund the iter budget, so
+    mirror chains are bounded only by Russian roulette: once depth ≥
+    max_depth every further bounce survives with p = min(0.95,
+    max(diffuse)) and multiplies throughput by the specular (≤ s_max)
+    color (pathtracer.cpp:588-594, 625). The expected radiance left in a
+    path truncated after k RR-gated segments is therefore ≤ (p·s_max)^k
+    relative to its throughput at RR onset. This picks the smallest cap
+    whose bound is below ``tol`` (never below the 2·depth+2 default).
+    """
+    import numpy as np
+    d = np.asarray(scene.materials.diffuse)
+    s = np.asarray(scene.materials.specular)
+    refl = np.asarray(scene.materials.reflectiveness)
+    transl = np.asarray(scene.materials.translucency)
+    # only materials that can extend a specular/refraction chain matter
+    chain = (refl > 0) | (transl > 0)
+    if not chain.any():
+        return 2 * max_depth + 2
+    p = min(0.95, float(d[chain].max(initial=0.0)))
+    s_max = min(1.0, float(s[chain].max(initial=0.0)))
+    q = p * s_max
+    base = 2 * max_depth + 2
+    if q <= 0.0:
+        return base
+    if q >= 1.0:
+        return hard_cap
+    import math
+    k = math.ceil(math.log(tol) / math.log(q))
+    return min(hard_cap, max(base, max_depth + k))

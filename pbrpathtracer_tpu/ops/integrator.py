@@ -45,30 +45,32 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
     # NOTE: no manual hoisting of loop-invariant precomputes (triangle
     # features) — custom_vjp functions cannot close over traced values, and
     # XLA's loop-invariant code motion pulls them out of the scan anyway.
-    from .hit import _resolve_intersector_name
-    resolved = _resolve_intersector_name(scene, cfg)
     intersect_fn = _select_intersector(scene, cfg)
     if cfg.custom_hit_vjp:
         from .intersect_vjp import with_custom_vjp
         intersect_fn = with_custom_vjp(intersect_fn)
-    # lax.cond around a while_loop breaks MLIR lowering under grad on this
-    # JAX version — the BVH walk always runs without the segment skip.
-    skip_dead = cfg.skip_dead_segments and resolved != "bvh"
+    # (An earlier JAX version failed MLIR lowering for grad-of-cond around
+    # the BVH while_loop; tests/test_bvh.py::test_bvh_grad_with_skip_dead
+    # pins that the workaround is no longer needed on this version.)
+    skip_dead = cfg.skip_dead_segments
 
+    from jax.ad_checkpoint import checkpoint_name
 
     def segment(state, seg):
         stream = rng.bounce_stream(seg)
 
         def live(state):
-            hit, idx, t, u, v = closest_hit(
-                scene, cfg, state.ro, state.rd, seed, state.pixel,
-                sample_idx, stream, intersect_fn=intersect_fn)
+            hit, idx, t, u, v = checkpoint_name(
+                closest_hit(scene, cfg, state.ro, state.rd, seed,
+                            state.pixel, sample_idx, stream,
+                            intersect_fn=intersect_fn), "hit_query")
 
             def shadow_trace(p, l):
-                return closest_hit(
-                    scene, cfg, p, l, seed, state.pixel, sample_idx, stream,
-                    slot_base=rng.SLOT_NEE_OPACITY_BASE,
-                    intersect_fn=intersect_fn)
+                return checkpoint_name(
+                    closest_hit(scene, cfg, p, l, seed, state.pixel,
+                                sample_idx, stream,
+                                slot_base=rng.SLOT_NEE_OPACITY_BASE,
+                                intersect_fn=intersect_fn), "hit_query")
 
             return shade_segment(scene, cfg, state, hit, idx, t, u, v,
                                  seg, sample_idx, seed, shadow_trace)
@@ -79,6 +81,21 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
         else:
             state = live(state)
         return state, None
+
+    # Rematerialize the segment under reverse AD: without this the scan
+    # stashes every shading intermediate per segment and the backward pass
+    # is residual-traffic-bound (measured 72.6 ms fwd+bwd at 512² Cornell
+    # vs 49.7 ms with remat — benchmarks/profile_bwd.py). "hits" keeps the
+    # closest-hit outputs (five [N] arrays per query) as residuals so the
+    # backward recompute re-runs only the shading math, not the
+    # intersection kernels.
+    if cfg.remat_segments == "hits":
+        segment = jax.checkpoint(
+            segment,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "hit_query"))
+    elif cfg.remat_segments == "all":
+        segment = jax.checkpoint(segment)
 
     segs = jnp.arange(cfg.resolved_max_segments(), dtype=jnp.uint32)
     state, _ = jax.lax.scan(segment, state, segs)

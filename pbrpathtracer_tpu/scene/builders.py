@@ -167,6 +167,38 @@ def translucent_scene() -> Scene:
     return _merge_into(scene, extra, mats)
 
 
+def mirror_box_scene(spec_level: float = 0.9,
+                     diffuse_level: float = 0.9) -> Scene:
+    """Stress scene for the segment cap: a box whose walls are perfect
+    mirrors (reflectiveness 1, roughness 0 — the pathtracer.cpp:625 pure
+    specular path). In the reference, such chains are bounded only by
+    Russian roulette because specular bounces refund the iter budget
+    (pathtracer.cpp:625,701,711); here they are additionally truncated at
+    cfg.max_segments. Used by tests/test_mirror_box.py to bound the
+    truncation bias and validate suggest_max_segments()."""
+    s = spec_level
+    d = diffuse_level
+    mats = [
+        MaterialSpec(diffuse=(d, d, d), specular=(s, s, s),
+                     roughness=0.0, reflectiveness=1.0),   # 0 mirror walls
+        MaterialSpec(diffuse=(0.78, 0.78, 0.78), emissive=(1.0, 0.9, 0.7),
+                     emissive_intensity=1.5, specular=(0, 0, 0)),  # 1 light
+    ]
+    groups = []
+    groups.append((_quad((-1, -1, 0), (-1, -1, 4), (1, -1, 4), (1, -1, 0)), 0))
+    groups.append((_quad((-1, 1, 0), (1, 1, 0), (1, 1, 4), (-1, 1, 4)), 0))
+    groups.append((_quad((-1, -1, 4), (-1, 1, 4), (1, 1, 4), (1, -1, 4)), 0))
+    groups.append((_quad((-1, -1, 0), (-1, 1, 0), (-1, 1, 4), (-1, -1, 4)), 0))
+    groups.append((_quad((1, -1, 0), (1, -1, 4), (1, 1, 4), (1, 1, 0)), 0))
+    # front wall z=0 (normal +z) CLOSES the box behind the camera — mirror
+    # chains must not escape, or the RR tail this scene stresses never forms
+    groups.append((_quad((-1, -1, 0), (1, -1, 0), (1, 1, 0), (-1, 1, 0)), 0))
+    e = 0.995
+    groups.append((_quad((-0.4, e, 1.8), (0.4, e, 1.8), (0.4, e, 2.6),
+                         (-0.4, e, 2.6)), 1))
+    return _assemble(groups, mats)
+
+
 def _merge_into(scene: Scene, tri_groups, new_materials) -> Scene:
     """Append triangle groups + materials to an existing scene (host-side)."""
     import jax.numpy as jnp

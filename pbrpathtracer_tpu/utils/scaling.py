@@ -1,0 +1,92 @@
+"""Scaling-efficiency model + readout for the sharded render/train step.
+
+Real multi-chip hardware is not reachable from this environment (one
+tunneled v5e chip), so the ≥85% 1-chip → N-host BASELINE target is tracked
+with (a) measured single-chip step time, (b) exact collective byte counts
+from the sharding layout, and (c) a ring-all-reduce cost model over
+published per-link bandwidths. The model is conservative: compute is
+assumed perfectly parallel over rays (true — the wavefront is
+embarrassingly parallel and the scene is replicated), so the ONLY
+efficiency loss is the parameter-gradient all-reduce, which the layout
+confines to one psum per training step (parallel/render.py,
+dist/multihost.py). Forward renders all-reduce nothing (efficiency ≈ 1 by
+construction; the final image gather is one [H·W·3]·f32 transfer at the
+end of the whole render, not per step).
+
+Bandwidth constants (bytes/s, one direction, per chip/host):
+  * ICI: TPU v5e has 4 ICI links per chip at ~100 GB/s each per direction
+    (2-D torus); a ring reduction uses one link pair → 1e11 B/s.
+  * DCN: 200 Gbps NICs per host → 2.5e10 B/s.
+Update these per deployment; they only rescale the collective term.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+ICI_BYTES_PER_S = 1.0e11   # per-direction per-link, v5e
+DCN_BYTES_PER_S = 2.5e10   # per-host NIC, 200 Gbps
+
+# Measured on the one real chip (bench.py, 512² Cornell, 1 spp, depth 4,
+# fwd+bwd incl. materials grads). Used by dryrun_multichip's scaling
+# estimate so the number lands in the MULTICHIP artifact.
+MEASURED_T_STEP_512_S = 0.034   # see BENCH_r02
+
+
+def grad_psum_bytes(params) -> int:
+    """Bytes all-reduced per training step = size of the gradient pytree
+    (same structure as params; replicated params ⇒ one psum)."""
+    return int(sum(np.asarray(x).nbytes
+                   for x in jax.tree_util.tree_leaves(params)))
+
+
+def ring_allreduce_time(bytes_: int, n: int, bw: float) -> float:
+    """Ring all-reduce wall time over n participants at per-link bw."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (n - 1) / n * bytes_ / bw
+
+
+def efficiency_estimate(t_step_1chip: float, grad_bytes: int,
+                        n_hosts: int, chips_per_host: int = 4) -> dict:
+    """Scaling efficiency T(1) / (N · T(N)) for the DP-over-rays layout.
+
+    T(N) = t_compute/N + t_psum(N): compute splits perfectly over rays;
+    the psum runs hierarchically — reduce-scatter/all-gather inside each
+    host over ICI, then a cross-host ring over DCN (this is what XLA's
+    hierarchical collectives compile to on a pod slice).
+    """
+    n = n_hosts * chips_per_host
+    t_compute = t_step_1chip / n
+    t_ici = ring_allreduce_time(grad_bytes, chips_per_host, ICI_BYTES_PER_S)
+    t_dcn = ring_allreduce_time(grad_bytes, n_hosts, DCN_BYTES_PER_S)
+    t_step = t_compute + t_ici + t_dcn
+    return {
+        "n_hosts": n_hosts,
+        "n_chips": n,
+        "t_step_s": t_step,
+        "t_compute_s": t_compute,
+        "t_psum_ici_s": t_ici,
+        "t_psum_dcn_s": t_dcn,
+        "efficiency": t_step_1chip / (n * t_step),
+    }
+
+
+def scaling_report(params, t_step_1chip: float = MEASURED_T_STEP_512_S,
+                   hosts=(1, 2, 4, 8), chips_per_host: int = 4) -> dict:
+    """Full readout: collective bytes + per-host-count efficiency table."""
+    b = grad_psum_bytes(params)
+    return {
+        "grad_psum_bytes": b,
+        "t_step_1chip_s": t_step_1chip,
+        "assumptions": {
+            "ici_bytes_per_s": ICI_BYTES_PER_S,
+            "dcn_bytes_per_s": DCN_BYTES_PER_S,
+            "chips_per_host": chips_per_host,
+            "model": "compute perfectly parallel over rays; one "
+                     "hierarchical grad psum per step",
+        },
+        "by_hosts": [efficiency_estimate(t_step_1chip, b, h, chips_per_host)
+                     for h in hosts],
+    }

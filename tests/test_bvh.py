@@ -98,3 +98,25 @@ def test_auto_selects_bvh_over_threshold():
     cfg2 = RenderConfig(intersector="auto", bvh_threshold=4096)
     fn2 = _select_intersector(scene, cfg2)
     assert fn2 is not intersect_bvh
+
+
+def test_bvh_grad_with_skip_dead():
+    """Regression pin: grad through the BVH route WITH the dead-segment
+    lax.cond enabled. An earlier JAX version failed MLIR lowering for
+    grad-of-cond around the traversal while_loop, and the integrator
+    silently disabled the skip on the BVH route as a workaround; this test
+    keeps the now-removed workaround from regressing unnoticed."""
+    import jax.numpy as jnp
+    from pbrpathtracer_tpu.diff.params import get_params
+    from pbrpathtracer_tpu.diff.loss import l2_image_loss
+
+    scene = with_accel(cornell_box())
+    cfg = RenderConfig(width=8, height=8, max_depth=2, spp=1, seed=1,
+                       intersector="bvh", skip_dead_segments=True)
+    params = get_params(scene, CAM, materials=True)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    loss, g = jax.jit(lambda p: jax.value_and_grad(l2_image_loss)(
+        p, scene, CAM, cfg, target, jnp.uint32(0)))(params)
+    assert np.isfinite(float(loss))
+    gd = np.asarray(g["mat.diffuse"])
+    assert np.isfinite(gd).all() and np.abs(gd).max() > 0

@@ -112,3 +112,26 @@ def test_fit_recovers_perturbed_albedo():
     assert res.losses[-1] < res.losses[0] * 0.15, res.losses[::10]
     rec = np.asarray(res.params["mat.diffuse"])[1]
     assert np.abs(rec - true_diffuse[1]).max() < 0.15, rec
+
+
+def test_fit_checkpoint_resume_bitexact(tmp_path):
+    """Optimizer checkpointing (SURVEY.md §5): interrupting a fit at step 3
+    and resuming must reproduce the uninterrupted 6-step trajectory
+    bit-for-bit — per-step RNG is keyed by the absolute step index."""
+    scene = cornell_box()
+    cfg = RenderConfig(width=8, height=8, max_depth=2, spp=1, seed=7)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    ckpt = str(tmp_path / "fit.npz")
+
+    full = fit(scene, CAM, cfg, target, steps=6, lr=3e-2)
+
+    fit(scene, CAM, cfg, target, steps=3, lr=3e-2,
+        checkpoint_path=ckpt, checkpoint_every=3)
+    resumed = fit(scene, CAM, cfg, target, steps=6, lr=3e-2,
+                  checkpoint_path=ckpt, resume=True)
+
+    assert len(resumed.losses) == 6
+    assert resumed.losses == full.losses
+    for k in full.params:
+        assert np.array_equal(np.asarray(full.params[k]),
+                              np.asarray(resumed.params[k])), k
