@@ -70,6 +70,10 @@ MAX_CHUNK = 512    # max triangles per grid step (cull granularity)
 # liveness, drop this to 192K first.
 PAIR_BUDGET = 256 * 1024
 INT_BIG = np.int32(2 ** 31 - 1)
+# Scenes with more chunks than this route to the candidate-list kernel
+# (intersect_pallas_list.py); small scenes keep the dense grid, whose
+# single-chunk case has no list/DMA bookkeeping at all.
+LIST_KERNEL_MIN_CHUNKS = 4
 
 
 def _pick_chunk(t_pad: int) -> int:
@@ -257,11 +261,35 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
         [chunk_lo, jnp.zeros((n_chunks, 1)), chunk_hi,
          jnp.zeros((n_chunks, 1))], axis=1)          # [n_chunks, 8]
 
-    of, oi = _run(R, W, boxes, (n_pad, t_pad))
-    t = of[0, :N]
-    u = of[1, :N]
-    v = of[2, :N]
-    i = oi[0, :N]
+    if n_chunks > LIST_KERNEL_MIN_CHUNKS:
+        # Large scene: candidate-list kernel — grid steps and DMAs only
+        # for chunks some ray in the tile can actually hit (the dense
+        # grid is O(tiles x chunks) in both; see intersect_pallas_list).
+        from .intersect_pallas_list import (MAX_SUPER, build_tile_lists,
+                                            run_list_kernel)
+        ro_pad = jnp.pad(ro, ((0, n_pad - N), (0, 0)))
+        rd_pad = jnp.pad(rd, ((0, n_pad - N), (0, 0)),
+                         constant_values=1.0)  # pad rays point +x.. harmless
+        group = (n_chunks + MAX_SUPER - 1) // MAX_SUPER
+        lists = build_tile_lists(ro_pad, rd_pad, chunk_lo, chunk_hi,
+                                 TILE, group)
+        # transposed layouts (see intersect_pallas_list docstring):
+        # rays as [n_pad, 8] columns, triangles as [16, t_pad] planes
+        Rt = jnp.concatenate(
+            [rd, ro, t_lower[:, None], jnp.zeros((N, 1), jnp.float32)],
+            axis=1)
+        Rt = jnp.pad(Rt, ((0, n_pad - N), (0, 0)))
+        Wp = W.T                                     # [16, t_pad]
+        oft, oit = run_list_kernel(Rt, Wp, boxes, lists,
+                                   (n_pad, t_pad, CHUNK, TILE))
+        t, u, v = oft[:N, 0], oft[:N, 1], oft[:N, 2]
+        i = oit[:N, 0]
+    else:
+        of, oi = _run(R, W, boxes, (n_pad, t_pad))
+        t = of[0, :N]
+        u = of[1, :N]
+        v = of[2, :N]
+        i = oi[0, :N]
     hit = (t < BIG) & (i < T)
     i_safe = jnp.where(hit, i, 0)
     if perm is not None:
