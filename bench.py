@@ -170,6 +170,8 @@ def main():
             "live_per_segment": live.tolist(),
             "config": f"{WIDTH}x{HEIGHT}@{SPP}spp depth{DEPTH} cornell",
             "device": str(jax.devices()[0]),
+            "vs_baseline_is_estimate": True,  # ref publishes no numbers;
+            # the headline perf readout is fraction_of_roofline above
             "baseline_assumption": "ref CPU ~5e6 rays/s (16-core OpenMP)",
         },
     }))

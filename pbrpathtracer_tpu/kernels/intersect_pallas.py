@@ -257,6 +257,15 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
         [tri_hi, jnp.full((t_pad - T, 3), -BIG)], axis=0)
     chunk_lo = jnp.min(tri_lo.reshape(n_chunks, CHUNK, 3), axis=1)
     chunk_hi = jnp.max(tri_hi.reshape(n_chunks, CHUNK, 3), axis=1)
+    # Inflate by EPS: the kernels' strict slab test (tn < tf) culls
+    # exactly-flat boxes (a coplanar axis-aligned chunk — ground plane,
+    # quad light — has lo==hi on one axis, so tn==tf). The reference
+    # guards the same case by inflating degenerate AABBs before its
+    # strict test (AABB::Check, mesh.cpp:32-45). Inflation only makes
+    # culling conservative — acceptance is Möller–Trumbore on triangles.
+    # Padded chunks stay inverted (BIG∓EPS), never self-enabling.
+    chunk_lo = chunk_lo - EPS
+    chunk_hi = chunk_hi + EPS
     boxes = jnp.concatenate(
         [chunk_lo, jnp.zeros((n_chunks, 1)), chunk_hi,
          jnp.zeros((n_chunks, 1))], axis=1)          # [n_chunks, 8]
@@ -269,10 +278,10 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
                                             run_list_kernel)
         ro_pad = jnp.pad(ro, ((0, n_pad - N), (0, 0)))
         rd_pad = jnp.pad(rd, ((0, n_pad - N), (0, 0)),
-                         constant_values=1.0)  # pad rays point +x.. harmless
+                         constant_values=1.0)  # pad rays masked in the cull
         group = (n_chunks + MAX_SUPER - 1) // MAX_SUPER
         lists = build_tile_lists(ro_pad, rd_pad, chunk_lo, chunk_hi,
-                                 TILE, group)
+                                 TILE, group, n_valid=N)
         # transposed layouts (see intersect_pallas_list docstring):
         # rays as [n_pad, 8] columns, triangles as [16, t_pad] planes
         Rt = jnp.concatenate(

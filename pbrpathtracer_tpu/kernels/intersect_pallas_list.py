@@ -35,10 +35,11 @@ lanes. Rays-on-lanes was the dense kernel's win because its *pipelined*
 BlockSpec fetches tolerate a 16-wide minor dim; a manual `.at[]` DMA
 does not.
 
-Same accept/reject math as the dense kernel, bit-identical results
-(interpret-mode and on-chip parity in tests/test_pallas_kernel.py);
-the wrapper in intersect_pallas.py routes scenes with more than
-LIST_KERNEL_MIN_CHUNKS chunks here.
+Same accept/reject math as the dense kernel, bit-identical results.
+Interpret-mode parity vs the jnp matmul intersector (>4-chunk scenes,
+degenerate flat-AABB chunks, t_lower re-trace) is asserted in
+tests/test_pallas_list.py; the wrapper in intersect_pallas.py routes
+scenes with more than LIST_KERNEL_MIN_CHUNKS chunks here.
 """
 
 from __future__ import annotations
@@ -66,14 +67,18 @@ def _safe_inv(rd3):
     return 1.0 / rd_safe
 
 
-def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group):
+def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None):
     """Per-ray-tile candidate chunk lists via superchunk slab culling.
 
     Args:
       ro, rd: f32[N, 3] rays (N padded to a multiple of ``tile``).
-      chunk_lo/hi: f32[n_chunks, 3] chunk AABBs (padded chunks inverted).
+      chunk_lo/hi: f32[n_chunks, 3] chunk AABBs (padded chunks inverted;
+        real chunks pre-inflated by EPS — see intersect_pallas.py).
       tile: rays per tile (static).
       group: chunks per superchunk (static).
+      n_valid: number of real rays; pad rows beyond it are masked out of
+        the per-tile OR (a pad ray near the scene would otherwise enable
+        spurious candidate chunks for the last partial tile).
 
     Returns:
       lists i32[n_tiles, L]: row = [count, id0, id1, ...pad] with L =
@@ -90,15 +95,40 @@ def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group):
     super_lo = jnp.min(slo.reshape(n_super, group, 3), axis=1)
     super_hi = jnp.max(shi.reshape(n_super, group, 3), axis=1)
 
-    ird = _safe_inv(rd)                                     # [N, 3]
-    t1 = (super_lo[None, :, :] - ro[:, None, :]) * ird[:, None, :]
-    t2 = (super_hi[None, :, :] - ro[:, None, :]) * ird[:, None, :]
-    tn = jnp.max(jnp.minimum(t1, t2), axis=2)               # [N, n_super]
-    tf = jnp.min(jnp.maximum(t1, t2), axis=2)
-    can = (tn < tf) & (tf > 0.0)
+    n_pad = ro.shape[0]
+    n_tiles = n_pad // tile
+    if n_valid is None:
+        n_valid = n_pad
 
-    n_tiles = ro.shape[0] // tile
-    tile_can = jnp.any(can.reshape(n_tiles, tile, n_super), axis=1)
+    def tile_verdict(args):
+        """[tile, 3] rays + [tile] validity -> [n_super] per-tile OR.
+
+        Per-axis accumulation: peak temporary is [tile, n_super] (not
+        [tile, n_super, 3]), and lax.map's batching below bounds the
+        live batch — at 1M rays x 128 superchunks the naive broadcast
+        was ~1.6 GB per temporary, competing with the wavefront buffers
+        at exactly the scene sizes this kernel targets.
+        """
+        ro_b, rd_b, valid_b = args
+        ird = _safe_inv(rd_b)
+        tn = jnp.full((ro_b.shape[0], n_super), -BIG, jnp.float32)
+        tf = jnp.full((ro_b.shape[0], n_super), BIG, jnp.float32)
+        for ax in range(3):
+            t1 = (super_lo[None, :, ax] - ro_b[:, None, ax]) * ird[:, None, ax]
+            t2 = (super_hi[None, :, ax] - ro_b[:, None, ax]) * ird[:, None, ax]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        can = (tn < tf) & (tf > 0.0) & valid_b[:, None]
+        return jnp.any(can, axis=0)
+
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n_valid
+    # bound the live [batch, tile, n_super] block to ~64M f32 (256 MB)
+    batch = max(1, min(n_tiles, (1 << 26) // max(tile * n_super, 1)))
+    tile_can = jax.lax.map(
+        tile_verdict,
+        (ro.reshape(n_tiles, tile, 3), rd.reshape(n_tiles, tile, 3),
+         valid.reshape(n_tiles, tile)),
+        batch_size=batch)                                   # [n_tiles, n_super]
     # expand superchunk verdicts to chunk granularity, drop padded chunks
     cand = jnp.repeat(tile_can, group, axis=1)[:, :n_chunks]
 
@@ -228,6 +258,14 @@ def run_list_kernel(R, W, boxes, lists, shapes, interpret=False):
     -> (of f32[n_pad, 8] (t, u, v cols), oi i32[n_pad, 8]).
     """
     n_pad, t_pad, CHUNK, TILE = shapes
+    # The candidate-list row lives in SMEM (a few hundred KB/core); an
+    # oversized scene would otherwise die inside Mosaic with an opaque
+    # allocation error. 16K ids = 8M triangles at CHUNK=512.
+    if lists.shape[1] > 16384:
+        raise ValueError(
+            f"candidate list width {lists.shape[1]} exceeds the SMEM "
+            f"budget (16384 int32): scene has too many {CHUNK}-triangle "
+            "chunks. Raise MAX_CHUNK or tile the candidate list.")
     grid = (n_pad // TILE,)
     out_shape = [
         jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),

@@ -283,10 +283,12 @@ def empty_textures() -> Textures:
 def pack_textures(images) -> Textures:
     """Pack a list of f32[H,W,4] numpy images into a padded stack.
 
-    Index 0 is always the dummy texture so material ``tex_index`` values can
-    be offset by callers however they like; loaders in this repo use absolute
-    indices into the returned stack (dummy excluded — they start at 0 of this
-    stack's own indexing). If ``images`` is empty returns the dummy stack.
+    Slot k of the returned stack is exactly ``images[k]`` — material
+    ``tex_index`` values are absolute indices into this stack, with -1
+    (NO_TEXTURE) meaning "no texture" (gathers mask on that, never on a
+    dummy slot). Only when ``images`` is empty does this return the
+    1-entry dummy stack from ``empty_textures`` so texture gathers always
+    have a valid target array.
     """
     if not images:
         return empty_textures()
