@@ -88,9 +88,9 @@ def main():
         return (jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32), z, z, z)
 
     def bench(label, use_scene, grad_keys=None, fwd_only=False):
-        ps = {k: v for k, v in params.items()
+        ps = {k: pv for k, pv in params.items()
               if grad_keys is None or k in grad_keys}
-        rest = {k: v for k, v in params.items() if k not in ps}
+        rest = {k: pv for k, pv in params.items() if k not in ps}
 
         def loss_of(psub, eps):
             sc, cam = set_params(use_scene, camera, {**psub, **rest})
@@ -110,17 +110,27 @@ def main():
         print(f"{label:44s} {tt*1e3:7.3f} ms")
         return tt
 
-    bench("shade fwd only", scene, fwd_only=True)
-    bench("fwd+bwd wrt ALL material params", scene)
-    bench("fwd+bwd wrt diffuse only", scene, ("mat.diffuse",))
-    bench("fwd+bwd wrt emissive(+int) only", scene,
-          ("mat.emissive", "mat.emissive_intensity"))
-    bench("fwd+bwd wrt roughness only", scene, ("mat.roughness",))
-    bench("fwd+bwd wrt ior only", scene, ("mat.ior",))
-    bench("fwd+bwd wrt specular+reflectiveness", scene,
-          ("mat.specular", "mat.reflectiveness"))
-    scene_nl = scene.replace(lights=jnp.zeros((0,), jnp.int32))
-    bench("fwd+bwd ALL, no lights (no NEE)", scene_nl)
+    import argparse as _a
+    which = os.environ.get("ABLATE", "fwd,all,diffuse,rough,nonee").split(",")
+    if "fwd" in which:
+        bench("shade fwd only", scene, fwd_only=True)
+    if "all" in which:
+        bench("fwd+bwd wrt ALL material params", scene)
+    if "diffuse" in which:
+        bench("fwd+bwd wrt diffuse only", scene, ("mat.diffuse",))
+    if "emissive" in which:
+        bench("fwd+bwd wrt emissive(+int) only", scene,
+              ("mat.emissive", "mat.emissive_intensity"))
+    if "rough" in which:
+        bench("fwd+bwd wrt roughness only", scene, ("mat.roughness",))
+    if "ior" in which:
+        bench("fwd+bwd wrt ior only", scene, ("mat.ior",))
+    if "spec" in which:
+        bench("fwd+bwd wrt specular+reflectiveness", scene,
+              ("mat.specular", "mat.reflectiveness"))
+    if "nonee" in which:
+        scene_nl = scene.replace(lights=jnp.zeros((0,), jnp.int32))
+        bench("fwd+bwd ALL, no lights (no NEE)", scene_nl)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,11 @@ class RenderConfig:
     # reference's biased estimators exactly; True enables the corrected ones.
     rr_reweight: bool = False     # divide by survive-prob after RR (ref omits: pathtracer.cpp:588-594)
     nee_physical: bool = False    # area-pdf/r^2/num-lights weighting (ref omits: pathtracer.cpp:528-530)
+    # Opaque specular lobe model: "reference" = the cone around the mirror
+    # direction (pathtracer.cpp:606-623); "ggx" = importance-sampled GGX
+    # microfacet (ops/ggx.py) — smooth roughness gradients for inverse
+    # rendering. Diffuse/NEE/RR/translucent semantics are unchanged.
+    brdf: str = "reference"
 
     # Intersector selection: "auto" picks brute-force matmul for small scenes
     # and the BVH wavefront for large ones.

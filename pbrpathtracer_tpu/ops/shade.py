@@ -261,6 +261,16 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     is_opaque = f_mtype == OPAQUE
     op_spec = is_opaque & (d_lobe_sel < reflectiveness)
 
+    # Optional GGX microfacet lobe for opaque specular (ops/ggx.py): smooth
+    # in roughness (inverse rendering) where the reference cone is hit-flip
+    # noise. Translucent reflection keeps the reference lobes.
+    spec_weight = None
+    if cfg.brdf == "ggx":
+        from .ggx import ggx_sample
+        ggx_dir, ggx_w = ggx_sample(rd, n, roughness, w_l, th_l)
+        spec_dir = jnp.where(op_spec[:, None], ggx_dir, spec_dir)
+        spec_weight = jnp.where(op_spec, ggx_w, 1.0)
+
     # ---- translucent decisions (pathtracer.cpp:643-675) ----
     refract_n_cone = cone_direction(r, n, nx, 1.0 - FLT_EPSILON,
                                     w_rc * roughness, th_rc)
@@ -295,6 +305,8 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     new_dir = jnp.where(spec_branch[:, None], spec_dir,
                         jnp.where(tr_refract[:, None], refr_dir, uniform_dir))
     tput_factor = jnp.where(spec_branch[:, None], f_specular, diffuse)
+    if spec_weight is not None:
+        tput_factor = tput_factor * spec_weight[:, None]
 
     emitted = emiss * f_emiss_int[:, None]
     contribution = emitted + nee
