@@ -159,6 +159,8 @@ class Scene:
     # Static metadata (not traced):
     has_opacity_tex: bool = struct.field(pytree_node=False, default=False)
     has_any_texture: bool = struct.field(pytree_node=False, default=False)
+    # Any TRANSLUCENT material present (preview transparency pass gate).
+    has_translucent: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -323,13 +325,15 @@ def finalize_scene(geom: Geometry, materials: Materials,
     if textures is None:
         textures = empty_textures()
     tex_index = np.asarray(materials.tex_index)
-    from ..utils.constants import TEX_OPACITY
+    from ..utils.constants import TEX_OPACITY, TRANSLUCENT as TRANSLUCENT_ID
     has_opacity = bool((tex_index[:, TEX_OPACITY] >= 0).any())
     has_any = bool((tex_index >= 0).any())
     scene = Scene(
         geom=geom, materials=materials, textures=textures,
         lights=build_lights(geom, materials),
         has_opacity_tex=has_opacity, has_any_texture=has_any,
+        has_translucent=bool(
+            (np.asarray(materials.mat_type) == TRANSLUCENT_ID).any()),
     )
     T = geom.num_triangles
     if accel == "always" or (accel == "auto" and T > accel_threshold):

@@ -72,3 +72,39 @@ def test_status_text_ttl():
     import time
     time.sleep(0.08)
     assert st.get() == ""
+
+
+def test_preview_blended_transparency():
+    """Reference preview draws translucent elements alpha-blended over the
+    opaque pass (main.cpp:2934-2955; alpha from shaders.h:151-164). The
+    depth-peeled preview must let the back wall show through the glass box
+    of translucent_scene — and highlighted translucent elements must draw
+    opaque (the pass gate at main.cpp:2924-2945)."""
+    from pbrpathtracer_tpu.scene.builders import translucent_scene
+    scene = translucent_scene()
+    assert scene.has_translucent
+    color, oid, eid = jax.jit(lambda: preview_render(scene, CAM, 48, 48))()
+    color, eid = np.asarray(color), np.asarray(eid)
+    assert np.isfinite(color).all()
+
+    # pick buffer still reports the front-most (glass) surface
+    glass = eid == 6
+    assert glass.any(), "glass box not visible in the preview"
+
+    # an identical scene with the box forced OPAQUE must differ behind the
+    # glass (blending lets the wall color through; opaque does not)
+    import jax.numpy as jnp
+    opaque_mats = scene.materials.replace(
+        mat_type=jnp.zeros_like(scene.materials.mat_type))
+    from pbrpathtracer_tpu.scene.scene import finalize_scene
+    opaque_scene = finalize_scene(scene.geom, opaque_mats, scene.textures)
+    color_op = np.asarray(jax.jit(
+        lambda: preview_render(opaque_scene, CAM, 48, 48))()[0])
+    assert not np.allclose(color[glass], color_op[glass]), \
+        "translucent element rendered identically to opaque"
+
+    # highlighted translucent element draws opaque: matches the opaque
+    # render's geometry contribution more than the blended one does
+    color_hl = np.asarray(jax.jit(lambda: preview_render(
+        scene, CAM, 48, 48, highlight=(0, 6)))()[0])
+    assert not np.allclose(color_hl[glass], color[glass])
