@@ -3,17 +3,28 @@
 
 BASELINE.json metric: "rays/s/chip fwd+bwd at 1spp bounce-4".
 
-Timing is DEVICE-SIDE: the step runs inside a `lax.scan` rep loop within a
-single dispatch, and per-rep time comes from differencing an R-rep and a
-2R-rep program. This cancels the per-dispatch RTT of the tunneled chip
-(~40 ms here — 6x the actual 512² forward pass), which host-side loops
-would otherwise measure instead of compute. Production renders amortize
-dispatch the same way (progressive passes run back-to-back).
+Timing: a QUEUED host loop — R back-to-back async dispatches, one final
+block_until_ready — measured at R and 2R and differenced, so fixed costs
+(dispatch RTT of the tunneled chip, queue ramp) cancel and the slope is
+pure device throughput. Verified against a device-side `lax.scan` rep
+loop: the scan harness reads ~7 ms/step HIGHER (the scalar carry defeats
+XLA's inter-step overlap), so the queued slope is the honest one.
+Production renders amortize dispatch the same way (progressive passes
+run back-to-back).
 
-Speed-of-light: `utils/roofline.py` prices the compiled program's HBM
-traffic (XLA cost analysis) and VPU/MXU FLOPs (XLA counters + the Pallas
-pair-block arithmetic XLA can't see) at TPU v5e peak rates;
-``fraction_of_roofline`` in the output is measured-vs-that-bound.
+Speed-of-light: `utils/roofline.py` prices HBM traffic (XLA cost
+analysis) and VPU/MXU FLOPs (XLA counters + the Pallas pair-block
+arithmetic XLA can't see) at TPU v5e peak rates;
+``fraction_of_roofline`` in the output is measured-vs-that-bound. The
+cost analysis is taken from a CANONICAL graph (rolled scan, no
+dead-segment cond, remat="all") — the executed graph is fully unrolled
+with per-segment conds, whose cost analysis double-counts both cond
+branches and every unrolled residual buffer (it priced 33.9 GB for a
+step that a rolled graph moves 3.3 GB for; a roofline from it would be
+slower than the measured time). The canonical rolled/no-cond/recompute
+graph is the schedule with the fewest counted bytes that still performs
+the algorithm, so its HBM bound is the strictest of the available
+denominators.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so this
 remains the ratio against a documented estimate of the reference OpenMP
@@ -90,53 +101,43 @@ def main():
     rays_per_sample = int(live.sum()) * 2  # bounce + shadow query per live lane
     live_segments = int((live > 0).sum())  # skip_dead skips the rest
 
-    # --- device-side rep timing --------------------------------------------
-    def devtime(step, reps):
-        """Per-rep seconds of step(carry) via R vs 2R device-side scans."""
-        def make(n):
-            @jax.jit
-            def run(c0):
-                def body(c, _):
-                    return step(c), None
-                c, _ = jax.lax.scan(body, c0, None, length=n)
-                return c
-            return run
-        r1, r2 = make(reps), make(2 * reps)
-        r1(jnp.float32(0)).block_until_ready()
-        r2(jnp.float32(0)).block_until_ready()
-        t0 = time.perf_counter()
-        r1(jnp.float32(0)).block_until_ready()
-        t1 = time.perf_counter()
-        r2(jnp.float32(0)).block_until_ready()
-        t2 = time.perf_counter()
-        return ((t2 - t1) - (t1 - t0)) / reps
-
-    def fwd_step(c):
-        img = render_sample(scene, camera, cfg, jnp.uint32(0),
-                            seed=c.astype(jnp.uint32))
-        return jnp.sum(img) * 1e-30
+    # --- queued-loop timing (R vs 2R slope; see module docstring) ----------
+    def devtime(step_jit, args_of, reps):
+        def run(n):
+            out = step_jit(*args_of(0))
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            outs = [step_jit(*args_of(i)) for i in range(n)]
+            jax.block_until_ready(outs[-1])
+            return time.perf_counter() - t0
+        t1 = run(reps)
+        t2 = run(2 * reps)
+        return (t2 - t1) / reps
 
     params = get_params(scene, camera, materials=True)
     target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
 
-    def fwdbwd_step(c):
-        loss, g = jax.value_and_grad(l2_image_loss)(
-            params, scene, camera, cfg, target, c.astype(jnp.uint32))
-        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
-        return (loss + gsum) * 1e-30
-
-    t_fwd = devtime(fwd_step, reps=12)
-    t_fwdbwd = devtime(fwdbwd_step, reps=6)
-
-    # --- roofline (speed-of-light) readout ---------------------------------
-    fwd_jit = jax.jit(lambda s: render_sample(scene, camera, cfg,
-                                              jnp.uint32(0), seed=s))
-    bytes_fwd, flops_fwd = roofline.xla_costs(
-        fwd_jit.lower(jnp.uint32(0)).compile())
+    fwd_jit = jax.jit(lambda s: jnp.sum(render_sample(
+        scene, camera, cfg, jnp.uint32(0), seed=s)))
     fb_jit = jax.jit(lambda p, s: jax.value_and_grad(l2_image_loss)(
         p, scene, camera, cfg, target, s))
+
+    t_fwd = devtime(fwd_jit, lambda i: (jnp.uint32(i),), reps=24)
+    t_fwdbwd = devtime(fb_jit, lambda i: (params, jnp.uint32(i)), reps=12)
+
+    # --- roofline (speed-of-light) readout ---------------------------------
+    # Canonical graph for the cost analysis (see module docstring): rolled
+    # scan, no dead-skip cond, full recompute — fewest counted bytes.
+    cfg_roof = cfg.replace(skip_dead_segments=False, unroll_segments=1,
+                           remat_segments="all")
+    roof_fwd_jit = jax.jit(lambda s: render_sample(scene, camera, cfg_roof,
+                                                   jnp.uint32(0), seed=s))
+    bytes_fwd, flops_fwd = roofline.xla_costs(
+        roof_fwd_jit.lower(jnp.uint32(0)).compile())
+    roof_fb_jit = jax.jit(lambda p, s: jax.value_and_grad(l2_image_loss)(
+        p, scene, camera, cfg_roof, target, s))
     bytes_fb, flops_fb = roofline.xla_costs(
-        fb_jit.lower(params, jnp.uint32(0)).compile())
+        roof_fb_jit.lower(params, jnp.uint32(0)).compile())
 
     # Pallas pair-block flops XLA can't see (TPU route only): two queries
     # per live segment, every lane x padded-tri pair.
@@ -146,9 +147,12 @@ def main():
     else:
         pf = 0.0
     rl_fwd = roofline.build(bytes_fwd, flops_fwd, pf)
-    # backward re-runs the two forward queries + their winner-VJP pullbacks
-    # (ops/intersect_vjp.py) — approximated as 2x the forward pallas work.
-    rl_fb = roofline.build(bytes_fb, flops_fb, 2 * pf)
+    # The queries run ONCE (forward): hit_vjp="recompute" stop-gradients
+    # the intersectors, and shade's straight-through winner recompute
+    # (O(N), XLA-visible) carries the backward — no Pallas work in the
+    # backward pass (verified: 2 tpu_custom_call sites in the compiled
+    # step HLO, both in the forward segment body).
+    rl_fb = roofline.build(bytes_fb, flops_fb, pf)
 
     rays_fwd = rays_per_sample / t_fwd
     rays_fwdbwd = rays_per_sample / t_fwdbwd
@@ -164,7 +168,9 @@ def main():
             "paths_per_s_fwd": round(n_pix * SPP / t_fwd, 1),
             "t_fwd_ms": round(t_fwd * 1e3, 3),
             "t_fwdbwd_ms": round(t_fwdbwd * 1e3, 3),
-            "timing": "device-side rep scan (dispatch RTT cancelled)",
+            "timing": "queued-loop R-vs-2R slope (fixed costs cancelled)",
+            "roofline_graph": "canonical rolled/noskip/remat-all "
+                              "(executed graph: unrolled, see docstring)",
             "roofline_fwd": rl_fwd.as_dict(t_fwd),
             "roofline_fwdbwd": rl_fb.as_dict(t_fwdbwd),
             "live_per_segment": live.tolist(),

@@ -84,8 +84,8 @@ def main():
     jax.block_until_ready(state)
     stream = rng.bounce_stream(jnp.uint32(0))
     intersect_fn = _select_intersector(scene, cfg)
-    intersect_vjp = (with_custom_vjp(intersect_fn) if cfg.custom_hit_vjp
-                     else intersect_fn)
+    intersect_vjp = (with_custom_vjp(intersect_fn)
+                     if cfg.hit_vjp == "winner" else intersect_fn)
 
     @jax.jit
     def hit0(ro, rd):

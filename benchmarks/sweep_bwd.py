@@ -80,7 +80,8 @@ def main():
         ("off", dict(remat_segments="off")),
         ("hits noskip", dict(skip_dead_segments=False)),
         ("all noskip", dict(remat_segments="all", skip_dead_segments=False)),
-        ("hits novjp", dict(custom_hit_vjp=False)),
+        ("hits winner-vjp", dict(hit_vjp="winner")),
+        ("hits autodiff", dict(hit_vjp="autodiff")),
     ]
     if args.variants:
         keep = set(args.variants.split(";"))

@@ -44,18 +44,42 @@ class RenderConfig:
     intersector: str = "auto"    # auto | pallas | matmul | classic | bvh
     bvh_threshold: int = 4096     # tri count above which auto uses the BVH
     use_pallas: bool = True       # let auto route through Pallas on TPU
-    # Winner-only custom VJP for hit queries (ops/intersect_vjp.py): O(N)
-    # backward instead of replaying the O(N*T) query; required for
-    # differentiating through the BVH walk (while_loop has no reverse rule).
-    custom_hit_vjp: bool = True
+    # How hit queries participate in reverse-mode AD:
+    #   "recompute" (default) — the intersectors are stop-gradient'd (their
+    #     discrete argmin detaches anyway) and shade recomputes (t, u, v)
+    #     for the *winning* triangle in closed form, straight-through so the
+    #     forward values stay bit-exact. Gradients flow to (ro, rd) AND to
+    #     the winner's geometry through the shading pack. Crucially the
+    #     opaque query (Pallas custom-call / BVH while_loop) is dead code in
+    #     the backward, so jax.checkpoint's recompute elides it instead of
+    #     re-running it per segment (measured ~33 ms -> see BENCH_r03).
+    #   "winner" — custom VJP wrapper (ops/intersect_vjp.py): O(N) closed
+    #     -form pullback to (ro, rd) only; custom_vjp is opaque to remat
+    #     DCE, so the query re-runs inside the backward.
+    #   "autodiff" — differentiate the raw intersector (matmul/classic
+    #     only; the BVH while_loop has no reverse rule). Debug/baseline.
+    hit_vjp: str = "recompute"
     # Rematerialization of the bounce-segment body under reverse AD:
-    #   "hits" (default) — recompute shading in the backward pass but keep
-    #   the closest-hit query outputs as residuals (cheap [N] rows; skips
+    #   "auto" (default) — "off" when the segment loop is unrolled (XLA
+    #   fuses residuals in place; measured 21.9 ms vs 32.0 ms with "hits"
+    #   at 512² Cornell depth-4 on TPU), "hits" under lax.scan (the stash
+    #   machinery makes full residuals 2x slower there);
+    #   "hits" — recompute shading in the backward pass but keep the
+    #   closest-hit query outputs as residuals (cheap [N] rows; skips
     #   re-running the intersection kernels);
     #   "all" — plain jax.checkpoint (recompute everything);
-    #   "off" — stash all residuals (XLA default; measured 1.5-1.9x slower
-    #   fwd+bwd on the 512² Cornell workload, see ops/integrator.py).
-    remat_segments: str = "hits"
+    #   "off" — stash all residuals (XLA default).
+    remat_segments: str = "auto"
+
+    # Segment-loop unrolling: "auto" fully unrolls on TPU when
+    # rays x segments fits the residual budget (the dynamic_slice /
+    # dynamic_update_slice residual-stash traffic of a rolled scan was
+    # ~9 ms/step of the 36 ms fwd+bwd at 512² Cornell), else keeps the
+    # rolled lax.scan (CPU tests, huge wavefronts). An int forces a factor.
+    unroll_segments: int | str = "auto"
+    # rays x segments ceiling for auto-unroll (10M lanes x ~100 B of live
+    # residuals per lane ≈ 1 GB HBM — comfortable on a 16 GB chip).
+    unroll_budget_lanes: int = 16 * 1024 * 1024
 
     # Structurally skip bounce segments once every lane is dead (lax.cond).
     # Big win for renders with dead tails (all routes, incl. BVH — the old
@@ -67,6 +91,23 @@ class RenderConfig:
         if self.max_segments is not None:
             return self.max_segments
         return 2 * self.max_depth + 2
+
+    def resolved_unroll(self, n_rays: int) -> int:
+        """Segment-loop unroll factor for an n_rays wavefront."""
+        if self.unroll_segments != "auto":
+            return int(self.unroll_segments)
+        import jax
+        segs = self.resolved_max_segments()
+        if (jax.default_backend() == "tpu"
+                and n_rays * segs <= self.unroll_budget_lanes):
+            return segs
+        return 1
+
+    def resolved_remat(self, unroll: int) -> str:
+        """Remat policy given the resolved unroll factor."""
+        if self.remat_segments != "auto":
+            return self.remat_segments
+        return "off" if unroll >= self.resolved_max_segments() else "hits"
 
     def with_auto_segments(self, scene, tol: float = 1e-3) -> "RenderConfig":
         """Replace max_segments with suggest_max_segments(scene, ...)."""

@@ -46,9 +46,24 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
     # features) — custom_vjp functions cannot close over traced values, and
     # XLA's loop-invariant code motion pulls them out of the scan anyway.
     intersect_fn = _select_intersector(scene, cfg)
-    if cfg.custom_hit_vjp:
+    if cfg.hit_vjp == "winner":
         from .intersect_vjp import with_custom_vjp
         intersect_fn = with_custom_vjp(intersect_fn)
+    elif cfg.hit_vjp == "recompute":
+        # Queries are non-differentiable: their discrete argmin detaches and
+        # shade re-derives the winner's (t, u, v) in closed form
+        # (ops/shade._winner_straight_through). With outputs stop-gradient'd
+        # AND saved as "hit_query" residuals, the backward recompute of the
+        # remat'd segment has no consumer for the query — DCE removes the
+        # Pallas custom-call / BVH walk from the backward entirely (the
+        # custom_vjp path re-runs it per segment; see BENCH_r03).
+        base_fn = intersect_fn
+
+        def intersect_fn(s, ro, rd, tl):
+            sg = jax.lax.stop_gradient
+            return jax.tree_util.tree_map(sg, base_fn(s, sg(ro), sg(rd), tl))
+    elif cfg.hit_vjp != "autodiff":
+        raise ValueError(f"unknown hit_vjp mode {cfg.hit_vjp!r}")
     # (An earlier JAX version failed MLIR lowering for grad-of-cond around
     # the BVH while_loop; tests/test_bvh.py::test_bvh_grad_with_skip_dead
     # pins that the workaround is no longer needed on this version.)
@@ -82,23 +97,25 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
             state = live(state)
         return state, None
 
-    # Rematerialize the segment under reverse AD: without this the scan
-    # stashes every shading intermediate per segment and the backward pass
-    # is residual-traffic-bound (measured 72.6 ms fwd+bwd at 512² Cornell
-    # vs 49.7 ms with remat — benchmarks/profile_bwd.py). "hits" keeps the
-    # closest-hit outputs (five [N] arrays per query) as residuals so the
-    # backward recompute re-runs only the shading math, not the
-    # intersection kernels.
-    if cfg.remat_segments == "hits":
+    # Remat x unroll policy (cfg.resolved_remat / resolved_unroll): a
+    # rolled scan stashes residuals through dynamic_update_slice per
+    # segment and wants "hits" remat (keep only the closest-hit outputs,
+    # recompute shading in the backward — 36 ms vs 72 ms with full
+    # residuals at 512² Cornell). A fully unrolled loop lets XLA place
+    # residuals in fused form, where *no* remat is fastest (21.9 ms);
+    # gradients are identical either way.
+    unroll = cfg.resolved_unroll(state.ro.shape[0])
+    remat = cfg.resolved_remat(unroll)
+    if remat == "hits":
         segment = jax.checkpoint(
             segment,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "hit_query"))
-    elif cfg.remat_segments == "all":
+    elif remat == "all":
         segment = jax.checkpoint(segment)
 
     segs = jnp.arange(cfg.resolved_max_segments(), dtype=jnp.uint32)
-    state, _ = jax.lax.scan(segment, state, segs)
+    state, _ = jax.lax.scan(segment, state, segs, unroll=unroll)
     return state.radiance
 
 

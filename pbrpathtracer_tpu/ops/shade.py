@@ -150,6 +150,31 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     return jnp.where((facing & visible)[:, None], contrib, 0.0)
 
 
+def _winner_straight_through(ro, rd, v0, e1, e2, hit, t, bu, bv):
+    """Re-derive (t, u, v) for the winning triangle differentiably and graft
+    the derivatives onto the intersector's (stop-gradient'd) values.
+
+    Möller–Trumbore with the safe-reciprocal guard of ops/intersect.py;
+    misses and degenerate denominators keep zero derivative (their values
+    are frozen query outputs either way)."""
+    import jax
+    h = jnp.cross(rd, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    ok = hit & (jnp.abs(a) >= EPS)
+    f = jnp.where(ok, 1.0 / jnp.where(ok, a, 1.0), 0.0)
+    s = ro - v0
+    q = jnp.cross(s, e1)
+    t_rec = f * jnp.sum(e2 * q, axis=-1)
+    u_rec = f * jnp.sum(s * h, axis=-1)
+    v_rec = f * jnp.sum(rd * q, axis=-1)
+    sg = jax.lax.stop_gradient
+
+    def graft(orig, rec):
+        return orig + jnp.where(ok, rec - sg(rec), 0.0)
+
+    return graft(t, t_rec), graft(bu, u_rec), graft(bv, v_rec)
+
+
 def shade_segment(scene: Scene, cfg, state: WavefrontState,
                   hit, tri_idx, t, bu, bv,
                   seg, sample_idx, seed, shadow_trace) -> WavefrontState:
@@ -169,7 +194,6 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
 
     active = state.alive & hit
     rd = state.rd
-    p = state.ro + rd * t[:, None]
 
     # ONE fields-on-sublanes fetch serves every triangle+material
     # attribute (shadepack.gather_fields): forward and backward are both
@@ -177,8 +201,22 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     (f_normal, f_n0, f_n1, f_n2, f_uv0, f_uv1, f_uv2, f_smooth,
      f_diffuse, f_specular, f_emissive, f_emiss_int, f_roughness,
      f_reflectiveness, f_transl, f_ior, f_mtype, f_texidx,
-     f_tangent, f_bitangent) = sp.gather_fields(
+     f_tangent, f_bitangent, f_v0, f_e1, f_e2) = sp.gather_fields(
          sp.build_tri_pack(scene), tri_idx, sp.TRI_FIELDS)
+
+    if cfg.hit_vjp == "recompute":
+        # The intersectors are stop-gradient'd (ops/integrator.py); with the
+        # winner index fixed, (t, u, v) are closed-form Möller–Trumbore
+        # ratios of (ro, rd) against that one triangle (pathtracer.cpp:
+        # 373-409). Straight-through: the recomputed value minus its own
+        # stop_gradient is identically zero in the forward (query values
+        # stay bit-exact) but carries the winner-local pullback to ro, rd
+        # and the winner's geometry — the O(N) equivalent of
+        # ops/intersect_vjp.py, inlined where XLA can fuse it.
+        t, bu, bv = _winner_straight_through(
+            state.ro, rd, f_v0, f_e1, f_e2, hit, t, bu, bv)
+
+    p = state.ro + rd * t[:, None]
     w0 = (1.0 - bu - bv)[:, None]
     uv = (w0 * f_uv0 + bu[:, None] * f_uv1
           + bv[:, None] * f_uv2)  # GetUV (pathtracer.cpp:533-536)

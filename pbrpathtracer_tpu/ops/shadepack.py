@@ -9,7 +9,7 @@ one wide one.
 
 This module folds everything shading reads into two precomputed tables:
 
-  * ``tri_pack`` f32[T, 46] — triangle attributes with the material row
+  * ``tri_pack`` f32[T, 55] — triangle attributes with the material row
     *pre-joined* per triangle (materials[mat_id] is itself a gather, done
     once here instead of per lane per segment);
   * ``light_pack`` f32[L, 13] — light-triangle vertices + premultiplied
@@ -154,13 +154,16 @@ MAT_TYPE = 33              # 0.0 = OPAQUE, 1.0 = TRANSLUCENT
 TEX_IDX = slice(34, 40)    # six texture-slot indices, -1.0 = none
 TANGENT = slice(40, 43)
 BITANGENT = slice(43, 46)
-TRI_PACK_WIDTH = 46
+V0 = slice(46, 49)         # winner-triangle geometry for the straight-through
+E1 = slice(49, 52)         # (t, u, v) recompute in shade (hit_vjp="recompute")
+E2 = slice(52, 55)
+TRI_PACK_WIDTH = 55
 
 # ordered, disjoint, covering — required by unpack()'s concat backward
 TRI_FIELDS = (NORMAL, N0, N1, N2, UV0, UV1, UV2, SMOOTH,
               DIFFUSE, SPECULAR, EMISSIVE, EMISS_INT, ROUGHNESS,
               REFLECTIVENESS, TRANSLUCENCY, IOR, MAT_TYPE, TEX_IDX,
-              TANGENT, BITANGENT)
+              TANGENT, BITANGENT, V0, E1, E2)
 
 # ---- light_pack column layout ------------------------------------------------
 L_V0 = slice(0, 3)
@@ -201,7 +204,7 @@ def unpack(row: jnp.ndarray, fields) -> tuple:
 
 
 def build_tri_pack(scene) -> jnp.ndarray:
-    """f32[T, 46] joined triangle + material shading table."""
+    """f32[T, 55] joined triangle + material shading table."""
     g, m = scene.geom, scene.materials
     # Integer ids ride as f32 sublanes — exact only below 2^24.
     assert g.v0.shape[0] < 2 ** 24, "tri ids stored as f32 in the pack"
@@ -222,6 +225,7 @@ def build_tri_pack(scene) -> jnp.ndarray:
         col(m.ior[mid]), col(m.mat_type[mid]),
         m.tex_index[mid].astype(f32),
         g.tangent, g.bitangent,
+        g.v0, g.e1, g.e2,
     ], axis=1)
 
 
