@@ -137,6 +137,12 @@ def main():
             cfg = RenderConfig(width=size, height=size, max_depth=3, spp=spp)
             img = np.asarray(render(scene, mcam, cfg))
             assert np.isfinite(img).all() and img.max() > 0.05
+            # warm re-render for an on-chip throughput number (first call
+            # above pays compile; this one doesn't)
+            t0 = time.time()
+            img2 = np.asarray(render(scene, mcam, cfg))
+            render_s = time.time() - t0
+            del img2
             tcfg = cfg.replace(spp=1)
             target = jnp.zeros((size, size, 3), jnp.float32)
             loss, g = grad_render(scene, mcam, tcfg, target, materials=False,
@@ -171,6 +177,8 @@ def main():
                                     f"{fd_i:.3e} (rel {rel:.3%} > 1%)")
                 texel_checks[str(i)] = {"ad": ad_i, "fd": fd_i, "rel": rel}
             return {"tris": scene.num_triangles, "mean": float(img.mean()),
+                    "render_s_warm": round(render_s, 3),
+                    "paths_per_s": round(size * size * spp / render_s, 1),
                     "texel_fd_checks": texel_checks}
         run_rung("3-mesh50k-texgrads", rung3)
 
@@ -209,6 +217,10 @@ def main():
             mesh = make_mesh(devs)
             img = np.asarray(render_sharded(scene, mcam, cfg, mesh=mesh))
             assert np.isfinite(img).all()
+            t0 = time.time()
+            img2 = np.asarray(render_sharded(scene, mcam, cfg, mesh=mesh))
+            render_s = time.time() - t0
+            del img2
 
             # short sharded inverse-rendering fit (BASELINE config 5)
             import optax
@@ -239,7 +251,10 @@ def main():
                 losses.append(float(l))
             assert all(np.isfinite(losses))
             return {"tris": scene.num_triangles, "devices": len(devs),
-                    "mean": float(img.mean()), "fit_losses": losses}
+                    "mean": float(img.mean()),
+                    "render_s_warm": round(render_s, 3),
+                    "paths_per_s": round(size * size * spp / render_s, 1),
+                    "fit_losses": losses}
         run_rung("5-million-sharded", rung5)
 
 

@@ -81,6 +81,17 @@ class RenderConfig:
     # residuals per lane ≈ 1 GB HBM — comfortable on a 16 GB chip).
     unroll_budget_lanes: int = 16 * 1024 * 1024
 
+    # Watchdog-safe dispatch sizing for un-jitted render(): max samples per
+    # device dispatch (None = auto from dispatch_pair_budget). The tunneled
+    # v5e kills dispatches in the minutes range; ~25 s dispatches survive.
+    max_spp_per_dispatch: int | None = None
+    # Auto budget: (rays x padded tris) pair tests per dispatch. 2.5e13 ~=
+    # one 512^2 sample at 50k tris (~3 s on a v5e) — dispatches of that
+    # size ran 58-in-a-row stable on the tunneled chip, while ~22 s
+    # dispatches died intermittently with "TPU worker crashed". Cornell
+    # -sized scenes stay single-dispatch into the hundreds of spp.
+    dispatch_pair_budget: float = 2.5e13
+
     # Structurally skip bounce segments once every lane is dead (lax.cond).
     # Big win for renders with dead tails (all routes, incl. BVH — the old
     # cond-around-while_loop MLIR lowering bug is fixed on this JAX

@@ -136,10 +136,54 @@ def render_accumulate(scene: Scene, camera: Camera, cfg, accum,
     return accum
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def _accum_chunk(scene, camera, cfg, accum, num, sample_start, seed):
+    return render_accumulate(scene, camera, cfg, accum, sample_start, num,
+                             seed=seed)
+
+
+def _dispatch_spp_chunk(scene: Scene, cfg) -> int:
+    """Samples per device dispatch. Large scenes at high spp otherwise put
+    minutes of work into ONE dispatch, which trips device watchdogs (the
+    tunneled v5e killed a ~200 s dispatch; ~25 s ones survive). Budget is
+    in (ray x padded-tri) pair tests — the cost unit of the dense/list
+    kernels — per dispatch; small scenes stay single-dispatch."""
+    if cfg.max_spp_per_dispatch is not None:
+        return max(1, cfg.max_spp_per_dispatch)
+    t_pad = max(((scene.num_triangles + 7) // 8) * 8, 128)
+    pairs_per_sample = float(cfg.num_pixels) * t_pad
+    return max(1, int(cfg.dispatch_pair_budget / max(pairs_per_sample, 1.0)))
+
+
 def render(scene: Scene, camera: Camera, cfg, seed=None):
-    """Render cfg.spp samples; returns mean radiance f32[H, W, 3]."""
+    """Render cfg.spp samples; returns mean radiance f32[H, W, 3].
+
+    Outside a trace, the sample loop is chunked into multiple device
+    dispatches when the workload is large (see _dispatch_spp_chunk);
+    inside jit (or small workloads) it is a single fused program."""
     accum = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
-    accum = render_accumulate(scene, camera, cfg, accum, 0, cfg.spp, seed=seed)
+    chunk = _dispatch_spp_chunk(scene, cfg)
+    try:
+        from jax._src.core import trace_state_clean
+        traced = not trace_state_clean()
+    except ImportError:  # future JAX: conservatively assume traced
+        traced = True
+    if traced or chunk >= cfg.spp:
+        accum = render_accumulate(scene, camera, cfg, accum, 0, cfg.spp,
+                                  seed=seed)
+    else:
+        seed = (jnp.uint32(cfg.seed) if seed is None
+                else jnp.asarray(seed, jnp.uint32))
+        for s0 in range(0, cfg.spp, chunk):
+            n = min(chunk, cfg.spp - s0)
+            accum = _accum_chunk(scene, camera, cfg, accum, n,
+                                 jnp.uint32(s0), seed)
+            # bound the in-flight queue: an unbounded stream of multi-second
+            # dispatches destabilizes the tunneled device worker
+            jax.block_until_ready(accum)
     img = accum / jnp.float32(cfg.spp)
     return img.reshape(cfg.height, cfg.width, 3)
 
