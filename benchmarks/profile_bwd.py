@@ -84,8 +84,11 @@ def main():
     jax.block_until_ready(state)
     stream = rng.bounce_stream(jnp.uint32(0))
     intersect_fn = _select_intersector(scene, cfg)
-    intersect_vjp = (with_custom_vjp(intersect_fn)
-                     if cfg.hit_vjp == "winner" else intersect_fn)
+    # Stage 2 profiles the WINNER custom VJP specifically, so wrap
+    # unconditionally: the raw intersector either has no reverse rule
+    # (pallas/BVH) or would silently measure the O(N*T) autodiff replay
+    # (matmul) under the default hit_vjp="recompute".
+    intersect_vjp = with_custom_vjp(intersect_fn)
 
     @jax.jit
     def hit0(ro, rd):

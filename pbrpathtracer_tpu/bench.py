@@ -1,0 +1,196 @@
+"""Benchmark: forward+backward rays/s per chip on the flagship workload.
+
+Importable entry point (``python -m pbrpathtracer_tpu bench`` works from an
+installed package); the repo-root ``bench.py`` shim calls :func:`main` for
+the driver. BASELINE.json metric: "rays/s/chip fwd+bwd at 1spp bounce-4".
+
+Timing: a QUEUED host loop — R back-to-back async dispatches, one final
+block_until_ready — measured at R and 2R and differenced, so fixed costs
+(dispatch RTT of the tunneled chip, queue ramp) cancel and the slope is
+pure device throughput. Verified against a device-side `lax.scan` rep
+loop: the scan harness reads ~7 ms/step HIGHER (the scalar carry defeats
+XLA's inter-step overlap), so the queued slope is the honest one.
+Production renders amortize dispatch the same way (progressive passes
+run back-to-back). This method is CANONICAL as of r3; BENCH_r01/r02 used
+a device-side rep scan and are not slope-comparable (see BENCH extras
+"timing_note").
+
+Speed-of-light: `utils/roofline.py` prices HBM traffic (XLA cost
+analysis) and VPU/MXU FLOPs (XLA counters + the Pallas pair-block
+arithmetic XLA can't see) at TPU v5e peak rates;
+``fraction_of_roofline`` in the output is measured-vs-that-bound. The
+cost analysis is taken from a CANONICAL graph — rolled scan over the
+measured number of LIVE segments only (the executed graph's trailing
+all-dead segments are structurally skipped by lax.cond, so the minimal
+schedule omits them), no dead-skip cond, remat="hits" for fwd+bwd (query
+outputs stashed as residuals → each query executes ONCE, matching the
+single-count Pallas-flops term; remat="all" would re-run the query in
+the backward and "off" stashes every shading intermediate). The executed
+graph is fully unrolled, whose cost analysis double-counts cond branches
+and unrolled residual buffers, so it cannot price the roofline. All
+three denominators (bytes, XLA flops, Pallas flops) come from this one
+schedule.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so this
+remains the ratio against a documented estimate of the reference OpenMP
+CPU tracer on a 16-core desktop: ~5e6 ray queries/s (Möller–Trumbore +
+BVH, ~13 threads, pathtracer.cpp:768).
+
+Ray accounting: per sample and segment, one bounce closest-hit query and
+one NEE shadow query per *live* lane; dead-lane slots are not credited.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+import warnings
+
+REFERENCE_CPU_RAYS_PER_S = 5.0e6  # documented estimate, see module docstring
+
+WIDTH = HEIGHT = 512
+DEPTH = 4
+SPP = 1
+
+
+def measure_flagship(extra_workloads=True):
+    """Run the flagship measurement; returns the result dict."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .scene.builders import cornell_box
+    from .scene.scene import Camera
+    from .engine.config import RenderConfig
+    from .ops.integrator import render_sample
+    from .ops import rng
+    from .ops.camera import generate_rays
+    from .ops.hit import closest_hit, _resolve_intersector_name
+    from .ops.shade import WavefrontState, shade_segment
+    from .diff.params import get_params
+    from .diff.loss import l2_image_loss
+    from .utils import roofline
+
+    scene = cornell_box()
+    camera = Camera.make(pos=(0.013, 0.021, 0.217), dir=(0.02, -0.03, 1),
+                         up=(0, 1, 0), fovy=61)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=DEPTH, spp=SPP,
+                       seed=0)
+    n_pix = WIDTH * HEIGHT
+
+    # --- instrument live-lane occupancy to count issued rays ---------------
+    @jax.jit
+    def occupancy():
+        pix = jnp.arange(n_pix, dtype=jnp.int32)
+        seed = jnp.uint32(0)
+        ro, rd = generate_rays(camera, WIDTH, HEIGHT, seed, jnp.uint32(0), pix)
+        state = WavefrontState.initial(ro, rd, pix)
+        counts = []
+        for seg in range(cfg.resolved_max_segments()):
+            counts.append(jnp.sum(state.alive))
+            stream = rng.bounce_stream(jnp.uint32(seg))
+            hit, idx, t, u, v = closest_hit(scene, cfg, state.ro, state.rd,
+                                            seed, pix, jnp.uint32(0), stream)
+
+            def shadow_trace(p, l):
+                return closest_hit(scene, cfg, p, l, seed, pix, jnp.uint32(0),
+                                   stream,
+                                   slot_base=rng.SLOT_NEE_OPACITY_BASE)
+            state = shade_segment(scene, cfg, state, hit, idx, t, u, v,
+                                  jnp.uint32(seg), jnp.uint32(0), seed,
+                                  shadow_trace)
+        return jnp.stack(counts)
+
+    live = np.asarray(occupancy())
+    rays_per_sample = int(live.sum()) * 2  # bounce + shadow query per live lane
+    live_segments = int((live > 0).sum())  # skip_dead skips the rest
+
+    # --- queued-loop timing (R vs 2R slope; see module docstring) ----------
+    def devtime(step_jit, args_of, reps):
+        def run(n):
+            out = step_jit(*args_of(0))
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            outs = [step_jit(*args_of(i)) for i in range(n)]
+            jax.block_until_ready(outs[-1])
+            return time.perf_counter() - t0
+        t1 = run(reps)
+        t2 = run(2 * reps)
+        return (t2 - t1) / reps
+
+    params = get_params(scene, camera, materials=True)
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+
+    fwd_jit = jax.jit(lambda s: jnp.sum(render_sample(
+        scene, camera, cfg, jnp.uint32(0), seed=s)))
+    fb_jit = jax.jit(lambda p, s: jax.value_and_grad(l2_image_loss)(
+        p, scene, camera, cfg, target, s))
+
+    t_fwd = devtime(fwd_jit, lambda i: (jnp.uint32(i),), reps=24)
+    t_fwdbwd = devtime(fb_jit, lambda i: (params, jnp.uint32(i)), reps=12)
+
+    # --- roofline (speed-of-light) readout ---------------------------------
+    # Canonical graph (see module docstring): rolled scan over the LIVE
+    # segments only, no dead-skip cond; "hits" remat for fwd+bwd so each
+    # query executes once — the same schedule all three cost terms price.
+    cfg_roof = cfg.replace(skip_dead_segments=False, unroll_segments=1,
+                           max_segments=max(live_segments, 1))
+    roof_fwd_jit = jax.jit(lambda s: render_sample(scene, camera, cfg_roof,
+                                                   jnp.uint32(0), seed=s))
+    bytes_fwd, flops_fwd = roofline.xla_costs(
+        roof_fwd_jit.lower(jnp.uint32(0)).compile())
+    cfg_roof_fb = cfg_roof.replace(remat_segments="hits")
+    roof_fb_jit = jax.jit(lambda p, s: jax.value_and_grad(l2_image_loss)(
+        p, scene, camera, cfg_roof_fb, target, s))
+    bytes_fb, flops_fb = roofline.xla_costs(
+        roof_fb_jit.lower(params, jnp.uint32(0)).compile())
+
+    # Pallas pair-block flops XLA can't see (TPU route only): two queries
+    # per live segment, every lane x padded-tri pair — executed exactly
+    # once each under the canonical schedule (forward; "hits" remat keeps
+    # the backward query-free).
+    t_pad = ((scene.num_triangles + 7) // 8) * 8
+    if _resolve_intersector_name(scene, cfg) == "pallas":
+        pf = roofline.pallas_pair_flops(n_pix, t_pad, 2 * live_segments)
+    else:
+        pf = 0.0
+    rl_fwd = roofline.build(bytes_fwd, flops_fwd, pf)
+    rl_fb = roofline.build(bytes_fb, flops_fb, pf)
+
+    rays_fwd = rays_per_sample / t_fwd
+    rays_fwdbwd = rays_per_sample / t_fwdbwd
+    value = rays_fwdbwd
+
+    return {
+        "metric": "rays_per_s_per_chip_fwd_bwd",
+        "value": round(value, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(value / REFERENCE_CPU_RAYS_PER_S, 3),
+        "extras": {
+            "rays_per_s_fwd": round(rays_fwd, 1),
+            "paths_per_s_fwd": round(n_pix * SPP / t_fwd, 1),
+            "t_fwd_ms": round(t_fwd * 1e3, 3),
+            "t_fwdbwd_ms": round(t_fwdbwd * 1e3, 3),
+            "timing": "queued-loop R-vs-2R slope (fixed costs cancelled)",
+            "roofline_graph": "canonical rolled/noskip over live segments, "
+                              "remat-hits for fwd+bwd (all cost terms from "
+                              "this one schedule; see module docstring)",
+            "roofline_fwd": rl_fwd.as_dict(t_fwd),
+            "roofline_fwdbwd": rl_fb.as_dict(t_fwdbwd),
+            "live_per_segment": live.tolist(),
+            "config": f"{WIDTH}x{HEIGHT}@{SPP}spp depth{DEPTH} cornell",
+            "device": str(jax.devices()[0]),
+            "vs_baseline_is_estimate": True,  # ref publishes no numbers;
+            # the headline perf readout is fraction_of_roofline above
+            "baseline_assumption": "ref CPU ~5e6 rays/s (16-core OpenMP)",
+        },
+    }
+
+
+def main():
+    warnings.filterwarnings("ignore")
+    print(json.dumps(measure_flagship()))
+
+
+if __name__ == "__main__":
+    main()

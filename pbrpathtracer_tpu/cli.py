@@ -165,11 +165,8 @@ def cmd_fit(args):
 
 
 def cmd_bench(args):
-    import runpy
-    import os
-    sys.argv = ["bench.py"]
-    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench.py"), run_name="__main__")
+    from .bench import main as bench_main
+    bench_main()
 
 
 def main(argv=None):

@@ -104,13 +104,20 @@ class RenderConfig:
         return 2 * self.max_depth + 2
 
     def resolved_unroll(self, n_rays: int) -> int:
-        """Segment-loop unroll factor for an n_rays wavefront."""
+        """Segment-loop unroll factor for an n_rays wavefront.
+
+        The auto budget counts residual lanes across the WHOLE differentiated
+        program: under grad of a multi-sample loss, render_accumulate scans
+        over spp and the unrolled remat-"off" residual stash multiplies by
+        spp — so spp participates in the budget (high-spp gradient workloads
+        fall back to the rolled scan + "hits" remat instead of OOMing)."""
         if self.unroll_segments != "auto":
             return int(self.unroll_segments)
         import jax
         segs = self.resolved_max_segments()
         if (jax.default_backend() == "tpu"
-                and n_rays * segs <= self.unroll_budget_lanes):
+                and n_rays * segs * max(self.spp, 1)
+                <= self.unroll_budget_lanes):
             return segs
         return 1
 

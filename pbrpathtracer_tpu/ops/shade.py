@@ -150,14 +150,39 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     return jnp.where((facing & visible)[:, None], contrib, 0.0)
 
 
+import jax
+
+
+@jax.custom_vjp
+def _graft(orig, rec, ok):
+    """Straight-through: forward returns ``orig`` EXACTLY (the recompute
+    chain feeding ``rec`` is dead code in a forward-only graph — XLA DCEs
+    it, so un-differentiated renders pay nothing for hit_vjp="recompute");
+    backward routes the cotangent to BOTH orig and (where ok) rec."""
+    return orig
+
+
+def _graft_fwd(orig, rec, ok):
+    return orig, ok
+
+
+def _graft_bwd(ok, cot):
+    return cot, jnp.where(ok, cot, jnp.zeros_like(cot)), None
+
+
+_graft.defvjp(_graft_fwd, _graft_bwd)
+
+
 def _winner_straight_through(ro, rd, v0, e1, e2, hit, t, bu, bv):
     """Re-derive (t, u, v) for the winning triangle differentiably and graft
     the derivatives onto the intersector's (stop-gradient'd) values.
 
     Möller–Trumbore with the safe-reciprocal guard of ops/intersect.py;
     misses and degenerate denominators keep zero derivative (their values
-    are frozen query outputs either way)."""
-    import jax
+    are frozen query outputs either way). The graft is a custom-VJP
+    identity on the query values, so the whole recompute vanishes from
+    forward-only graphs (r3 shipped it as ``orig + (rec - stop_grad(rec))``,
+    which XLA cannot DCE — the measured ~2 ms fwd regression of BENCH_r03)."""
     h = jnp.cross(rd, e2)
     a = jnp.sum(e1 * h, axis=-1)
     ok = hit & (jnp.abs(a) >= EPS)
@@ -167,12 +192,8 @@ def _winner_straight_through(ro, rd, v0, e1, e2, hit, t, bu, bv):
     t_rec = f * jnp.sum(e2 * q, axis=-1)
     u_rec = f * jnp.sum(s * h, axis=-1)
     v_rec = f * jnp.sum(rd * q, axis=-1)
-    sg = jax.lax.stop_gradient
-
-    def graft(orig, rec):
-        return orig + jnp.where(ok, rec - sg(rec), 0.0)
-
-    return graft(t, t_rec), graft(bu, u_rec), graft(bv, v_rec)
+    return (_graft(t, t_rec, ok), _graft(bu, u_rec, ok),
+            _graft(bv, v_rec, ok))
 
 
 def shade_segment(scene: Scene, cfg, state: WavefrontState,

@@ -86,8 +86,8 @@ def gather_fields(table: jnp.ndarray, idx: jnp.ndarray, fields) -> tuple:
     """Fetch per-lane shading attributes: ``split(table[idx], fields)``
     with a TPU-native data layout.
 
-    A [N, W] gathered row block is poison on TPU: W (≤46) pads to the
-    128-lane tile, and every per-field column slice re-reads whole lane
+    A [N, W] gathered row block is poison on TPU: W (≤TRI_PACK_WIDTH) pads
+    to the 128-lane tile, and every per-field column slice re-reads whole lane
     tiles — ~3.4 GB of HBM traffic per shade segment, measured. Instead
     the rows are produced *transposed* as [W, N] (fields on sublanes,
     rays on lanes) by a one-hot matmul on the MXU:

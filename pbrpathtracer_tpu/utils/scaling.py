@@ -28,10 +28,42 @@ import numpy as np
 ICI_BYTES_PER_S = 1.0e11   # per-direction per-link, v5e
 DCN_BYTES_PER_S = 2.5e10   # per-host NIC, 200 Gbps
 
-# Measured on the one real chip (bench.py, 512² Cornell, 1 spp, depth 4,
-# fwd+bwd incl. materials grads). Used by dryrun_multichip's scaling
-# estimate so the number lands in the MULTICHIP artifact.
-MEASURED_T_STEP_512_S = 0.034   # see BENCH_r02
+# Fallback single-chip step time (bench.py workload: 512² Cornell, 1 spp,
+# depth 4, fwd+bwd incl. materials grads) when no BENCH artifact is on
+# disk. measured_step_time() below prefers the LATEST committed
+# BENCH_r*.json so the scaling estimate always reflects the current
+# kernel (VERDICT r3 weak #3: a hand-copied constant went stale).
+FALLBACK_T_STEP_512_S = 0.0209   # BENCH_r03
+
+
+def measured_step_time() -> float:
+    """Single-chip fwd+bwd step time (s) from the newest BENCH_r*.json.
+
+    Scans the repo root (two levels above this file) for driver-recorded
+    BENCH artifacts and reads extras.t_fwdbwd_ms of the highest round;
+    falls back to FALLBACK_T_STEP_512_S outside a repo checkout."""
+    import glob
+    import json
+    import os
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    best_round, best_t = -1, None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            t_ms = data.get("parsed", data)["extras"]["t_fwdbwd_ms"]
+            r = int(m.group(1))
+            if r > best_round:
+                best_round, best_t = r, float(t_ms) / 1e3
+        except Exception:
+            continue
+    return best_t if best_t is not None else FALLBACK_T_STEP_512_S
 
 
 def grad_psum_bytes(params) -> int:
@@ -73,9 +105,11 @@ def efficiency_estimate(t_step_1chip: float, grad_bytes: int,
     }
 
 
-def scaling_report(params, t_step_1chip: float = MEASURED_T_STEP_512_S,
+def scaling_report(params, t_step_1chip: float | None = None,
                    hosts=(1, 2, 4, 8), chips_per_host: int = 4) -> dict:
     """Full readout: collective bytes + per-host-count efficiency table."""
+    if t_step_1chip is None:
+        t_step_1chip = measured_step_time()
     b = grad_psum_bytes(params)
     return {
         "grad_psum_bytes": b,
