@@ -61,13 +61,17 @@ def _icosphere_tris(center, radius, n_seg=6, seed=0):
     return out
 
 
-def _textures():
+def _textures(tex_size: int = 64):
+    """Checker diffuse + noise roughness stack; ``tex_size`` scales the
+    checker so texture-gradient workloads can be MB-scale (e.g. 512 →
+    a 512x512x4 f32 leaf, ~4 MB of texel grads per texture)."""
     rs = np.random.RandomState(7)
-    checker = np.zeros((64, 64, 4), np.float32)
-    for i in range(64):
-        for j in range(64):
-            c = 0.8 if ((i // 8) + (j // 8)) % 2 == 0 else 0.35
-            checker[i, j] = (c, c * 0.9, c * 0.7, 1.0)
+    cell = max(tex_size // 8, 1)
+    ii, jj = np.meshgrid(np.arange(tex_size), np.arange(tex_size),
+                         indexing="ij")
+    c = np.where(((ii // cell) + (jj // cell)) % 2 == 0, 0.8, 0.35)
+    checker = np.stack([c, c * 0.9, c * 0.7, np.ones_like(c)],
+                       axis=-1).astype(np.float32)
     rough = np.zeros((32, 32, 4), np.float32)
     rough[..., 0] = rs.uniform(0.4, 1.0, (32, 32))
     images = [checker, rough]
@@ -82,7 +86,8 @@ def _textures():
 
 
 def mesh_scene(n_tris: int = 50_000, textured: bool = True,
-               accel: str = "auto", seed: int = 0) -> Scene:
+               accel: str = "auto", seed: int = 0,
+               tex_size: int = 64) -> Scene:
     """~n_tris scene: textured displaced terrain + rock field + sky light."""
     rs = np.random.RandomState(seed)
 
@@ -148,7 +153,7 @@ def mesh_scene(n_tris: int = 50_000, textured: bool = True,
         "uv0": t0, "uv1": t1, "uv2": t2,
         "mat_id": mat_id, "element_id": mat_id,
     })
-    textures = _textures() if textured else None
+    textures = _textures(tex_size) if textured else None
     return finalize_scene(geom, pack_materials(mats), textures, accel=accel)
 
 

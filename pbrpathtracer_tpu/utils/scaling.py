@@ -80,17 +80,20 @@ def ring_allreduce_time(bytes_: int, n: int, bw: float) -> float:
     return 2.0 * (n - 1) / n * bytes_ / bw
 
 
-def efficiency_estimate(t_step_1chip: float, grad_bytes: int,
-                        n_hosts: int, chips_per_host: int = 4) -> dict:
-    """Scaling efficiency T(1) / (N · T(N)) for the DP-over-rays layout.
+def efficiency_estimate(t_sample_1chip: float, grad_bytes: int,
+                        n_hosts: int, chips_per_host: int = 4,
+                        spp: int = 1) -> dict:
+    """Scaling efficiency T(1) / (N · T(N)) for the fused DP-over-rays step.
 
-    T(N) = t_compute/N + t_psum(N): compute splits perfectly over rays;
-    the psum runs hierarchically — reduce-scatter/all-gather inside each
-    host over ICI, then a cross-host ring over DCN (this is what XLA's
+    ``t_sample_1chip`` is the single-chip fwd+bwd time of ONE sample (the
+    BENCH metric); a production step renders ``spp`` samples then psums
+    once. T(N) = spp·t_sample/N + t_psum(N): compute splits perfectly over
+    rays; the psum runs hierarchically — reduce-scatter/all-gather inside
+    each host over ICI, then a cross-host ring over DCN (what XLA's
     hierarchical collectives compile to on a pod slice).
     """
     n = n_hosts * chips_per_host
-    t_compute = t_step_1chip / n
+    t_compute = spp * t_sample_1chip / n
     t_ici = ring_allreduce_time(grad_bytes, chips_per_host, ICI_BYTES_PER_S)
     t_dcn = ring_allreduce_time(grad_bytes, n_hosts, DCN_BYTES_PER_S)
     t_step = t_compute + t_ici + t_dcn
@@ -101,13 +104,50 @@ def efficiency_estimate(t_step_1chip: float, grad_bytes: int,
         "t_compute_s": t_compute,
         "t_psum_ici_s": t_ici,
         "t_psum_dcn_s": t_dcn,
-        "efficiency": t_step_1chip / (n * t_step),
+        "efficiency": spp * t_sample_1chip / (n * t_step),
+    }
+
+
+def efficiency_estimate_overlapped(t_sample_1chip: float, grad_bytes: int,
+                                   n_hosts: int, spp: int,
+                                   chips_per_host: int = 4) -> dict:
+    """Scaling efficiency for make_train_step_overlapped.
+
+    The overlapped step psums each sample's partial grads while the NEXT
+    sample's fwd+bwd runs (parallel/render.py): per-sample collective
+    latency hides under per-sample compute, and only the last psum is
+    exposed. Costs one extra forward pass (the per-sample VJP re-runs the
+    forward), modeled as compute × 4/3 (fwd ≈ 1/3 of fwd+bwd, BENCH).
+
+        T(N) = spp · max(t_sample·4/3/N, t_ar) + t_ar
+
+    Exposed comm → t_ar instead of spp·t_ar whenever compute per sample
+    covers the all-reduce. Worth it exactly when the fused model's psum
+    share is visible AND per-sample compute ≥ one psum (mid-scale
+    cross-host fits with MB grads); at extreme scale the spp× extra
+    traffic loses — scaling_report shows both."""
+    n = n_hosts * chips_per_host
+    c = spp * t_sample_1chip * (4.0 / 3.0) / n
+    t_ici = ring_allreduce_time(grad_bytes, chips_per_host, ICI_BYTES_PER_S)
+    t_dcn = ring_allreduce_time(grad_bytes, n_hosts, DCN_BYTES_PER_S)
+    t_ar = t_ici + t_dcn
+    t_step = spp * max(c / spp, t_ar) + t_ar
+    return {
+        "n_hosts": n_hosts,
+        "n_chips": n,
+        "t_step_s": t_step,
+        "t_compute_s": c,
+        "t_psum_each_s": t_ar,
+        "t_psum_exposed_s": t_step - c,
+        "efficiency": spp * t_sample_1chip / (n * t_step),
     }
 
 
 def scaling_report(params, t_step_1chip: float | None = None,
-                   hosts=(1, 2, 4, 8), chips_per_host: int = 4) -> dict:
-    """Full readout: collective bytes + per-host-count efficiency table."""
+                   hosts=(1, 2, 4, 8), chips_per_host: int = 4,
+                   spp: int = 8) -> dict:
+    """Full readout: collective bytes + per-host-count efficiency table
+    for both train-step variants (fused single psum / overlapped)."""
     if t_step_1chip is None:
         t_step_1chip = measured_step_time()
     b = grad_psum_bytes(params)
@@ -118,9 +158,17 @@ def scaling_report(params, t_step_1chip: float | None = None,
             "ici_bytes_per_s": ICI_BYTES_PER_S,
             "dcn_bytes_per_s": DCN_BYTES_PER_S,
             "chips_per_host": chips_per_host,
-            "model": "compute perfectly parallel over rays; one "
-                     "hierarchical grad psum per step",
+            "model": "compute perfectly parallel over rays; fused = one "
+                     "hierarchical grad psum per step; overlapped = "
+                     "per-sample psum pipelined one sample behind the "
+                     f"backward (spp={spp})",
         },
-        "by_hosts": [efficiency_estimate(t_step_1chip, b, h, chips_per_host)
+        "spp": spp,
+        "by_hosts": [efficiency_estimate(t_step_1chip, b, h, chips_per_host,
+                                         spp=spp)
                      for h in hosts],
+        "by_hosts_overlapped": [
+            efficiency_estimate_overlapped(t_step_1chip, b, h, spp,
+                                           chips_per_host)
+            for h in hosts],
     }

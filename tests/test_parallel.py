@@ -87,3 +87,36 @@ def test_train_step_matches_across_device_counts():
     (l1, d1), (l8, d8) = results
     assert abs(l1 - l8) < 1e-5
     assert np.allclose(d1, d8, atol=1e-5)
+
+
+def test_overlapped_train_step_matches_fused():
+    """make_train_step_overlapped (psum pipelined one sample behind the
+    backward sweep) must produce the same loss and the same post-step
+    params as the fused-psum step, up to float summation order."""
+    from pbrpathtracer_tpu.parallel.render import make_train_step_overlapped
+
+    scene = cornell_box()
+    cfg = RenderConfig(width=16, height=16, max_depth=2, spp=3, seed=4)
+    mesh = _mesh(4)
+    params = get_params(scene, CAM, materials=True)
+    opt = optax.sgd(1e-2)
+
+    pixel_idx = jax.device_put(jnp.arange(cfg.num_pixels, dtype=jnp.int32),
+                               ray_sharding(mesh))
+    target = jax.device_put(jnp.full((cfg.num_pixels, 3), 0.3, jnp.float32),
+                            ray_sharding(mesh))
+    p0 = jax.device_put(params, replicated(mesh))
+    o0 = jax.device_put(opt.init(params), replicated(mesh))
+
+    fused = make_train_step(scene, CAM, cfg, opt, mesh)
+    over = make_train_step_overlapped(scene, CAM, cfg, opt, mesh)
+
+    pf, _, loss_f = fused(p0, o0, scene, CAM, pixel_idx, target,
+                          jnp.uint32(0))
+    po, _, loss_o = over(p0, o0, scene, CAM, pixel_idx, target,
+                         jnp.uint32(0))
+    assert np.isclose(float(loss_f), float(loss_o), rtol=1e-6), \
+        (float(loss_f), float(loss_o))
+    for k in pf:
+        a, b = np.asarray(pf[k]), np.asarray(po[k])
+        assert np.allclose(a, b, atol=1e-6), (k, np.abs(a - b).max())
