@@ -100,7 +100,7 @@ def main():
     params = get_params(scene, camera, materials=True)
 
     # ---- 1. shade-only fwd+bwd (stub shadow) ------------------------------
-    def stub_shadow(p, l):
+    def stub_shadow(p, l, sh_alive=None):
         z = jnp.zeros((N,), jnp.float32)
         return (jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32), z, z, z)
 

@@ -124,7 +124,7 @@ def main():
         return closest_hit(scene, cfg, ro + eps, rd, seed, pix, s0, stream,
                            intersect_fn=intersect_fn)
 
-    def stub_shadow(p, l):
+    def stub_shadow(p, l, sh_alive=None):
         z = jnp.zeros((N,), jnp.float32)
         return (jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32), z, z, z)
 
@@ -139,7 +139,7 @@ def main():
         hit, idx, t, u, v = hitres
         st = state.replace(ro=state.ro + eps)
 
-        def shadow_trace(p, l):
+        def shadow_trace(p, l, sh_alive=None):
             return closest_hit(scene, cfg, p, l, seed, pix, s0, stream,
                                slot_base=rng.SLOT_NEE_OPACITY_BASE,
                                intersect_fn=intersect_fn)

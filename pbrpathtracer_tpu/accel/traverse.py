@@ -20,8 +20,10 @@ from .build import FlatBVH
 BIG = jnp.float32(3.0e38)
 
 
-def _traverse_one(bvh_arrays, tris, leaf_size, ro, rd, t_lower):
-    """Closest hit for ONE ray (designed to be vmapped)."""
+def _traverse_one(bvh_arrays, tris, leaf_size, ro, rd, t_lower, start):
+    """Closest hit for ONE ray (designed to be vmapped). ``start`` is the
+    initial cursor: 0 walks the tree, M (node count) is a zero-length walk
+    (dead lanes)."""
     bmin, bmax, first, count, escape, perm = bvh_arrays
     v0, e1, e2 = tris
     M = first.shape[0]
@@ -86,15 +88,16 @@ def _traverse_one(bvh_arrays, tris, leaf_size, ro, rd, t_lower):
         ptr = jnp.where(hit_box, ptr + 1, escape[ptr])
         return (ptr, bt, bi, bu, bv)
 
-    init = (jnp.int32(0), BIG, jnp.int32(0), jnp.float32(0), jnp.float32(0))
+    init = (start, BIG, jnp.int32(0), jnp.float32(0), jnp.float32(0))
     _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, init)
     hit = bt < BIG
     return hit, bi, jnp.where(hit, bt, 0.0), bu, bv
 
 
-def intersect_bvh(scene, ro, rd, t_lower=None, leaf_size=None):
+def intersect_bvh(scene, ro, rd, t_lower=None, leaf_size=None, alive=None):
     """Closest-hit query through scene.accel. Same contract as the dense
-    intersectors (ops/intersect.py)."""
+    intersectors (ops/intersect.py). Dead lanes (``alive`` False) skip the
+    walk entirely via an exhausted t_lower and report a clean miss."""
     bvh: FlatBVH = scene.accel
     assert bvh is not None, "scene has no BVH; build with with_accel()"
     if t_lower is None:
@@ -108,6 +111,15 @@ def intersect_bvh(scene, ro, rd, t_lower=None, leaf_size=None):
     arrays = (bvh.bounds_min, bvh.bounds_max, bvh.first, bvh.count,
               bvh.escape, perm)
     tris = (g.v0, g.e1, g.e2)
-    return jax.vmap(
-        lambda o, d, tl: _traverse_one(arrays, tris, leaf_size, o, d, tl)
-    )(ro, rd, t_lower)
+    M = bvh.first.shape[0]
+    if alive is None:
+        start = jnp.zeros((ro.shape[0],), jnp.int32)
+    else:
+        # dead lanes start at the end cursor: a zero-length walk
+        start = jnp.where(alive, 0, M).astype(jnp.int32)
+    out = jax.vmap(
+        lambda o, d, tl, st: _traverse_one(arrays, tris, leaf_size, o, d,
+                                           tl, st)
+    )(ro, rd, t_lower, start)
+    from ..ops.intersect import mask_dead
+    return mask_dead(alive, *out)

@@ -92,9 +92,9 @@ def measure_flagship(extra_workloads=True):
             hit, idx, t, u, v = closest_hit(scene, cfg, state.ro, state.rd,
                                             seed, pix, jnp.uint32(0), stream)
 
-            def shadow_trace(p, l):
+            def shadow_trace(p, l, sh_alive=None):
                 return closest_hit(scene, cfg, p, l, seed, pix, jnp.uint32(0),
-                                   stream,
+                                   stream, alive=sh_alive,
                                    slot_base=rng.SLOT_NEE_OPACITY_BASE)
             state = shade_segment(scene, cfg, state, hit, idx, t, u, v,
                                   jnp.uint32(seg), jnp.uint32(0), seed,

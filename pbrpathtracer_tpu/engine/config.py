@@ -92,6 +92,18 @@ class RenderConfig:
     # -sized scenes stay single-dispatch into the hundreds of spp.
     dispatch_pair_budget: float = 2.5e13
 
+    # Live-lane wavefront compaction (ops/compaction.py): reorder lanes so
+    # the live ones form a contiguous prefix each segment; the Pallas
+    # intersectors then skip whole trailing dead tiles. "off" | "auto" |
+    # "sort" (one variadic stable sort of the state) | "gather"
+    # (perm sort + per-column gathers). Semantically exact either way
+    # (keyed RNG travels with the lane; ops/compaction.py on the ULP
+    # caveat under whole-render jit). "auto": on for deep workloads on
+    # TPU (segment cap > compact_min_segments), where occupancy decay pays
+    # for the per-segment permutation; off for shallow renders.
+    compact_wavefront: str = "auto"
+    compact_min_segments: int = 12
+
     # Structurally skip bounce segments once every lane is dead (lax.cond).
     # Big win for renders with dead tails (all routes, incl. BVH — the old
     # cond-around-while_loop MLIR lowering bug is fixed on this JAX
@@ -120,6 +132,21 @@ class RenderConfig:
                 <= self.unroll_budget_lanes):
             return segs
         return 1
+
+    def resolved_compact(self, n_rays: int) -> str:
+        """Resolve compact_wavefront to a concrete mode ("off"/"sort"/
+        "gather") for this wavefront."""
+        mode = self.compact_wavefront
+        if mode == "auto":
+            import jax
+            if (jax.default_backend() == "tpu"
+                    and self.resolved_max_segments()
+                    > self.compact_min_segments):
+                return "sort"
+            return "off"
+        if mode not in ("off", "sort", "gather"):
+            raise ValueError(f"unknown compact_wavefront {mode!r}")
+        return mode
 
     def resolved_remat(self, unroll: int) -> str:
         """Remat policy given the resolved unroll factor."""

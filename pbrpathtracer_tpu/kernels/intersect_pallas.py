@@ -95,9 +95,10 @@ def _kernel(CHUNK, TILE, r_ref, w_ref, box_ref, of_ref, oi_ref):
         of_ref[1:3, :] = jnp.zeros_like(of_ref[1:3, :])
         oi_ref[:] = jnp.zeros_like(oi_ref)
 
-    R = r_ref[:]                      # [8, TILE]: rd(3), ro(3), t_lower
+    R = r_ref[:]                      # [8, TILE]: rd(3), ro(3), t_lower, alive
     rd3 = R[0:3, :]
     ro3 = R[3:6, :]
+    alive_row = R[7:8, :] > 0.0       # [1, TILE] live-lane gate
 
     # ---- chunk culling: slab test vs the cluster AABB, pruned by best t ----
     row = box_ref[pl.ds(j, 1), :]     # [1, 8] dynamic row of the box table
@@ -116,7 +117,10 @@ def _kernel(CHUNK, TILE, r_ref, w_ref, box_ref, of_ref, oi_ref):
     tn = jnp.max(jnp.minimum(t1, t2), axis=0, keepdims=True)   # [1, TILE]
     tf = jnp.min(jnp.maximum(t1, t2), axis=0, keepdims=True)
     t_best = of_ref[0:1, :]
-    can_hit = (tn < tf) & (tf > 0.0) & (tn < t_best)
+    # Dead lanes never enable a chunk: with live lanes compacted to a
+    # prefix (ops/compaction.py) trailing all-dead tiles skip every
+    # Möller–Trumbore block below.
+    can_hit = (tn < tf) & (tf > 0.0) & (tn < t_best) & alive_row
     any_hit = jnp.any(can_hit)
 
     @pl.when(any_hit)
@@ -205,11 +209,15 @@ def _run(R, W, boxes, shapes):
     )(R, W, boxes)
 
 
-def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
+def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None,
+                     alive=None):
     """Closest-hit query - same contract as ops.intersect intersectors.
 
     Accepts a Scene (uses .geom, and .accel.perm as the locality order when
     present) or a bare Geometry. ``perm`` overrides the triangle ordering.
+    ``alive`` rides the spare row of the ray block; dead lanes are culled
+    before the pair tests and report a clean miss (intersect.mask_dead
+    contract) - with compaction, trailing dead tiles cost ~nothing.
     """
     geom = getattr(geom_or_scene, "geom", geom_or_scene)
     if perm is None:
@@ -220,6 +228,8 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
     T = geom.v0.shape[0]
     if t_lower is None:
         t_lower = jnp.zeros((N,), jnp.float32)
+    alive_f = (jnp.ones((N,), jnp.float32) if alive is None
+               else alive.astype(jnp.float32))
 
     # triangle dim lives on sublanes: pad granularity 8, then to CHUNK
     t_pad = ((T + 7) // 8) * 8
@@ -237,10 +247,10 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
     else:
         v0, e1, e2 = geom.v0, geom.e1, geom.e2
 
-    # dense [8, n_pad] ray block: rd(3), ro(3), t_lower, pad
+    # dense [8, n_pad] ray block: rd(3), ro(3), t_lower, alive
     R = jnp.concatenate([rd.T, ro.T, t_lower[None, :],
-                         jnp.zeros((1, N), jnp.float32)], axis=0)
-    R = jnp.pad(R, ((0, 0), (0, n_pad - N)))
+                         alive_f[None, :]], axis=0)
+    R = jnp.pad(R, ((0, 0), (0, n_pad - N)))  # pad lanes: alive row 0 = dead
 
     # [t_pad, 16] triangle SoA columns: v0(3), e1(3), e2(3), pad. Padded
     # tris have zero edges -> a = 0 -> |a| < EPS -> miss.
@@ -281,12 +291,12 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None):
                          constant_values=1.0)  # pad rays masked in the cull
         group = (n_chunks + MAX_SUPER - 1) // MAX_SUPER
         lists = build_tile_lists(ro_pad, rd_pad, chunk_lo, chunk_hi,
-                                 TILE, group, n_valid=N)
+                                 TILE, group, n_valid=N,
+                                 alive=None if alive is None else alive)
         # transposed layouts (see intersect_pallas_list docstring):
         # rays as [n_pad, 8] columns, triangles as [16, t_pad] planes
         Rt = jnp.concatenate(
-            [rd, ro, t_lower[:, None], jnp.zeros((N, 1), jnp.float32)],
-            axis=1)
+            [rd, ro, t_lower[:, None], alive_f[:, None]], axis=1)
         Rt = jnp.pad(Rt, ((0, n_pad - N), (0, 0)))
         Wp = W.T                                     # [16, t_pad]
         oft, oit = run_list_kernel(Rt, Wp, boxes, lists,

@@ -67,7 +67,8 @@ def _safe_inv(rd3):
     return 1.0 / rd_safe
 
 
-def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None):
+def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None,
+                     alive=None):
     """Per-ray-tile candidate chunk lists via superchunk slab culling.
 
     Args:
@@ -79,6 +80,9 @@ def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None):
       n_valid: number of real rays; pad rows beyond it are masked out of
         the per-tile OR (a pad ray near the scene would otherwise enable
         spurious candidate chunks for the last partial tile).
+      alive: optional bool[n_valid] live-lane mask — dead lanes never
+        enable candidate chunks, so all-dead tiles get count = 0 and the
+        kernel's per-tile loop body never runs for them.
 
     Returns:
       lists i32[n_tiles, L]: row = [count, id0, id1, ...pad] with L =
@@ -122,6 +126,8 @@ def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None):
         return jnp.any(can, axis=0)
 
     valid = jnp.arange(n_pad, dtype=jnp.int32) < n_valid
+    if alive is not None:
+        valid = valid & jnp.pad(alive, (0, n_pad - alive.shape[0]))
     # bound the live [batch, tile, n_super] block to ~64M f32 (256 MB)
     batch = max(1, min(n_tiles, (1 << 26) // max(tile * n_super, 1)))
     tile_can = jax.lax.map(
@@ -187,7 +193,8 @@ def _kernel(CHUNK, TILE, r_ref, lists_ref, boxes_ref, w_ref,
             tn = jnp.max(jnp.minimum(t1, t2), axis=1, keepdims=True)
             tf = jnp.min(jnp.maximum(t1, t2), axis=1, keepdims=True)
             t_best = of_ref[:, 0:1]                  # [TILE, 1]
-            can_hit = (tn < tf) & (tf > 0.0) & (tn < t_best)
+            can_hit = ((tn < tf) & (tf > 0.0) & (tn < t_best)
+                       & (R[:, 7:8] > 0.0))          # dead-lane gate
 
             @pl.when(jnp.any(can_hit))
             def _():

@@ -41,12 +41,16 @@ def _resolve_intersector_name(scene: Scene, cfg) -> str:
 
 
 def _select_intersector(scene: Scene, cfg):
-    """Resolve cfg.intersector to fn(scene, ro, rd, t_lower) -> hit tuple."""
+    """Resolve cfg.intersector to fn(scene, ro, rd, t_lower, alive=None)
+    -> hit tuple (``alive``: dead lanes report a clean miss and — on the
+    Pallas/BVH routes — skip their intersection work)."""
     name = _resolve_intersector_name(scene, cfg)
     if name == "matmul":
-        return lambda s, ro, rd, tl: intersect_matmul(s.geom, ro, rd, tl)
+        return lambda s, ro, rd, tl, alive=None: intersect_matmul(
+            s.geom, ro, rd, tl, alive=alive)
     if name == "classic":
-        return lambda s, ro, rd, tl: intersect_classic(s.geom, ro, rd, tl)
+        return lambda s, ro, rd, tl, alive=None: intersect_classic(
+            s.geom, ro, rd, tl, alive=alive)
     if name == "pallas":
         from ..kernels.intersect_pallas import intersect_pallas
         return intersect_pallas
@@ -69,13 +73,16 @@ def interpolate_uv(scene: Scene, tri_idx, u, v):
 
 
 def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
-                slot_base=rng.SLOT_OPACITY_BASE, intersect_fn=None):
+                slot_base=rng.SLOT_OPACITY_BASE, intersect_fn=None,
+                alive=None):
     """Closest hit with stochastic alpha.
 
     Returns (hit bool[N], tri_idx i32[N], t f32[N], u f32[N], v f32[N]).
     ``stream`` is the bounce-segment RNG stream; shadow rays pass
     ``slot_base=SLOT_NEE_OPACITY_BASE``. ``intersect_fn(scene, ro, rd,
-    t_lower)`` defaults to the cfg-selected intersector.
+    t_lower, alive=None)`` defaults to the cfg-selected intersector.
+    ``alive`` masks dead lanes to a clean miss and lets the TPU kernels
+    skip their work (live-lane results are bit-identical either way).
     """
     if intersect_fn is None:
         intersect_fn = _select_intersector(scene, cfg)
@@ -88,7 +95,7 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
     N = ro.shape[0]
     t_lower = jnp.zeros((N,), jnp.float32)
 
-    hit, idx, t, u, v = intersect_fn(scene, ro, rd, t_lower)
+    hit, idx, t, u, v = intersect_fn(scene, ro, rd, t_lower, alive=alive)
     if not scene.has_opacity_tex:
         return hit, idx, t, u, v
 
@@ -122,7 +129,11 @@ def closest_hit(scene: Scene, cfg, ro, rd, seed, pixel, sample_idx, stream,
             # oracle applies the same rule).
             break
         t_lower = jnp.where(rejected, t, t_lower)
-        nh, ni, nt, nu, nv = intersect_fn(scene, ro, rd, t_lower)
+        # settled lanes keep their result: only unsettled lanes need the
+        # re-trace, so they alone stay "alive" for the query
+        re_alive = ~settled if alive is None else (alive & ~settled)
+        nh, ni, nt, nu, nv = intersect_fn(scene, ro, rd, t_lower,
+                                          alive=re_alive)
         result = (jnp.where(settled, hit, nh), jnp.where(settled, idx, ni),
                   jnp.where(settled, t, nt), jnp.where(settled, u, nu),
                   jnp.where(settled, v, nv))

@@ -59,9 +59,10 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
         # custom_vjp path re-runs it per segment; see BENCH_r03).
         base_fn = intersect_fn
 
-        def intersect_fn(s, ro, rd, tl):
+        def intersect_fn(s, ro, rd, tl, alive=None):
             sg = jax.lax.stop_gradient
-            return jax.tree_util.tree_map(sg, base_fn(s, sg(ro), sg(rd), tl))
+            return jax.tree_util.tree_map(
+                sg, base_fn(s, sg(ro), sg(rd), tl, alive=alive))
     elif cfg.hit_vjp != "autodiff":
         raise ValueError(f"unknown hit_vjp mode {cfg.hit_vjp!r}")
     # (An earlier JAX version failed MLIR lowering for grad-of-cond around
@@ -71,31 +72,41 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
 
     from jax.ad_checkpoint import checkpoint_name
 
-    def segment(state, seg):
+    compact = cfg.resolved_compact(state.ro.shape[0])
+    if compact != "off":
+        from .compaction import compact_gather, compact_sort
+        compact_fn = compact_sort if compact == "sort" else compact_gather
+
+    def segment(carry, seg):
+        state, slot = carry
         stream = rng.bounce_stream(seg)
 
-        def live(state):
+        def live(state, slot):
+            if compact != "off":
+                state, slot, _ = compact_fn(state, slot)
             hit, idx, t, u, v = checkpoint_name(
                 closest_hit(scene, cfg, state.ro, state.rd, seed,
                             state.pixel, sample_idx, stream,
-                            intersect_fn=intersect_fn), "hit_query")
+                            intersect_fn=intersect_fn, alive=state.alive),
+                "hit_query")
 
-            def shadow_trace(p, l):
+            def shadow_trace(p, l, sh_alive=None):
                 return checkpoint_name(
                     closest_hit(scene, cfg, p, l, seed, state.pixel,
                                 sample_idx, stream,
                                 slot_base=rng.SLOT_NEE_OPACITY_BASE,
-                                intersect_fn=intersect_fn), "hit_query")
+                                intersect_fn=intersect_fn, alive=sh_alive),
+                    "hit_query")
 
             return shade_segment(scene, cfg, state, hit, idx, t, u, v,
-                                 seg, sample_idx, seed, shadow_trace)
+                                 seg, sample_idx, seed, shadow_trace), slot
 
         if skip_dead:
-            state = jax.lax.cond(jnp.any(state.alive), live, lambda s: s,
-                                 state)
+            state, slot = jax.lax.cond(jnp.any(state.alive), live,
+                                       lambda s, sl: (s, sl), state, slot)
         else:
-            state = live(state)
-        return state, None
+            state, slot = live(state, slot)
+        return (state, slot), None
 
     # Remat x unroll policy (cfg.resolved_remat / resolved_unroll): a
     # rolled scan stashes residuals through dynamic_update_slice per
@@ -115,7 +126,13 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
         segment = jax.checkpoint(segment)
 
     segs = jnp.arange(cfg.resolved_max_segments(), dtype=jnp.uint32)
-    state, _ = jax.lax.scan(segment, state, segs, unroll=unroll)
+    slot = jnp.arange(state.ro.shape[0], dtype=jnp.int32)
+    (state, slot), _ = jax.lax.scan(segment, (state, slot), segs,
+                                    unroll=unroll)
+    if compact != "off":
+        # undo the lane reordering: radiance back to input pixel order
+        from .compaction import scatter_to_slots
+        return scatter_to_slots(state.radiance, slot)
     return state.radiance
 
 

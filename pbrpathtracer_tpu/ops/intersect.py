@@ -133,11 +133,25 @@ def _running_best(carry, t_masked, u, v, base_idx):
             jnp.where(take, c_v, best_v))
 
 
+def mask_dead(alive, hit, idx, t, u, v):
+    """Dead-lane contract shared by every intersector: lanes with
+    ``alive == False`` report a clean miss (hit False, idx/t/u/v zero) —
+    identical to what the Pallas kernels' alive-gated cull produces from
+    their initialized accumulators. Live lanes are untouched (bit-exact).
+    """
+    if alive is None:
+        return hit, idx, t, u, v
+    z = jnp.float32(0.0)
+    return (hit & alive, jnp.where(alive, idx, 0), jnp.where(alive, t, z),
+            jnp.where(alive, u, z), jnp.where(alive, v, z))
+
+
 def intersect_matmul(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048,
-                     tri_w: jnp.ndarray | None = None):
+                     tri_w: jnp.ndarray | None = None, alive=None):
     """Closest-hit query via the MXU bilinear formulation.
 
     Returns (hit bool[N], tri_idx i32[N], t f32[N], u f32[N], v f32[N]).
+    ``alive`` optionally masks lanes to a clean miss (see mask_dead).
     """
     N = ro.shape[0]
     if t_lower is None:
@@ -170,10 +184,12 @@ def intersect_matmul(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048,
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best_t, best_i, best_u, best_v), _ = jax.lax.scan(body, init, (chunks, bases))
     hit = best_t < BIG
-    return hit, best_i, jnp.where(hit, best_t, 0.0), best_u, best_v
+    return mask_dead(alive, hit, best_i, jnp.where(hit, best_t, 0.0),
+                     best_u, best_v)
 
 
-def intersect_classic(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048):
+def intersect_classic(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048,
+                      alive=None):
     """Closest-hit query via vectorized classic Möller–Trumbore
     (pathtracer.cpp:373-409 operation order). VPU-only; parity baseline."""
     N = ro.shape[0]
@@ -206,4 +222,5 @@ def intersect_classic(geom: Geometry, ro, rd, t_lower=None, chunk: int = 2048):
     (best_t, best_i, best_u, best_v), _ = jax.lax.scan(
         body, init, (v0c, e1c, e2c, bases))
     hit = best_t < BIG
-    return hit, best_i, jnp.where(hit, best_t, 0.0), best_u, best_v
+    return mask_dead(alive, hit, best_i, jnp.where(hit, best_t, 0.0),
+                     best_u, best_v)

@@ -27,15 +27,16 @@ from ..utils.constants import EPS
 
 
 def with_custom_vjp(intersect_fn):
-    """Wrap ``intersect_fn(scene, ro, rd, t_lower)`` with the winner-only
-    VJP. The returned callable has the same signature/contract."""
+    """Wrap ``intersect_fn(scene, ro, rd, t_lower, alive=None)`` with the
+    winner-only VJP. The returned callable has the same signature/contract
+    (``alive`` is a discrete mask — no cotangent)."""
 
     @jax.custom_vjp
-    def run(scene, ro, rd, t_lower):
-        return intersect_fn(scene, ro, rd, t_lower)
+    def run(scene, ro, rd, t_lower, alive):
+        return intersect_fn(scene, ro, rd, t_lower, alive=alive)
 
-    def fwd(scene, ro, rd, t_lower):
-        out = intersect_fn(scene, ro, rd, t_lower)
+    def fwd(scene, ro, rd, t_lower, alive):
+        out = intersect_fn(scene, ro, rd, t_lower, alive=alive)
         hit, idx, _, _, _ = out
         return out, (scene.geom.v0, scene.geom.e1, scene.geom.e2,
                      hit, idx, ro, rd)
@@ -85,7 +86,11 @@ def with_custom_vjp(intersect_fn):
         d_rd = ((-f * f * num)[:, None] * (-e1xe2)
                 + cu[:, None] * fc * e2xs
                 + cv[:, None] * fc * sxe1)
-        return None, d_ro, d_rd, None
+        return None, d_ro, d_rd, None, None
 
     run.defvjp(fwd, bwd)
-    return run
+
+    def wrapped(scene, ro, rd, t_lower, alive=None):
+        return run(scene, ro, rd, t_lower, alive)
+
+    return wrapped

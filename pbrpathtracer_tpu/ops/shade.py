@@ -96,7 +96,7 @@ def cone_direction(basis, last_axis, nx, thresh, w, theta):
 
 def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
                         stream, shadow_trace, nee_physical: bool,
-                        draws=None):
+                        draws=None, alive=None):
     """NEE (DirectIllumimation, pathtracer.cpp:504-531).
 
     Uniform light pick, (√u, v) area warp, shadow ray that must FIRST-hit the
@@ -135,7 +135,11 @@ def direct_illumination(scene: Scene, p, n, diffuse, seed, pixel, sample_idx,
     cos_n = dot(n, l)
     facing = cos_n > 0.0  # ref: dot(-n,-l) <= 0 → reject (pathtracer.cpp:517)
 
-    sh_hit, sh_idx, _, _, _ = shadow_trace(p, l)
+    # only lanes whose NEE contribution survives the outer mask AND face
+    # the sampled light need the shadow query (pathtracer.cpp:517 rejects
+    # back-facing before casting) — the rest skip it in the TPU kernels
+    sh_alive = None if alive is None else (alive & facing)
+    sh_hit, sh_idx, _, _, _ = shadow_trace(p, l, sh_alive)
     visible = ~(sh_hit & (sh_idx != ltri))  # no-hit counts as visible (:522-526)
 
     contrib = lcolor * diffuse * cos_n[:, None]
@@ -356,7 +360,8 @@ def shade_segment(scene: Scene, cfg, state: WavefrontState,
     nee = direct_illumination(scene, p, n, diffuse, seed, state.pixel,
                               sample_idx, stream, shadow_trace,
                               cfg.nee_physical,
-                              draws=(d_pick, d_nee_u, d_nee_v))
+                              draws=(d_pick, d_nee_u, d_nee_v),
+                              alive=active & diffuse_branch)
     nee = jnp.where((active & diffuse_branch)[:, None], nee, 0.0)
 
     # ---- resolve branches ----

@@ -43,6 +43,16 @@ import jax.numpy as jnp
 # f32, so gate by table height; large tables keep the native scatter.
 MATMUL_SCATTER_MAX_T = 256
 
+# Route small-table gathers through the Pallas pack-gather kernel
+# (kernels/packgather_pallas.py) instead of the XLA one-hot matmul on TPU.
+# Default OFF: an interleaved on-chip A/B at the 512² Cornell flagship
+# measured the kernel ~0.6 ms SLOWER both directions (fwd 8.89 vs 8.26 ms,
+# fwd+bwd 20.90 vs 20.07 ms) — XLA's fused one-hot dot never materializes
+# the [T, N] one-hot in HBM either, and the custom-call boundary costs
+# fusion opportunities. Kept as an A/B'able alternative for large-table
+# regimes; tests/test_packgather.py pins its correctness.
+USE_PALLAS_PACKGATHER = False
+
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` with a TPU-fast backward for small tables.
@@ -82,6 +92,26 @@ def _split_sublane(rows: jnp.ndarray, fields) -> tuple:
                  for s in fields)
 
 
+def _split_concat_vjp(rows: jnp.ndarray, fields) -> tuple:
+    """_split_sublane with the exact one-concatenate backward (the fields
+    are ordered, disjoint sublane slices covering the row block)."""
+    fields = tuple(fields)
+
+    @jax.custom_vjp
+    def f(r):
+        return _split_sublane(r, fields)
+
+    def fwd(r):
+        return f(r), None
+
+    def bwd(_, cots):
+        parts = [c[None, :] if c.ndim == 1 else c.T for c in cots]
+        return (jnp.concatenate(parts, axis=0),)
+
+    f.defvjp(fwd, bwd)
+    return f(rows)
+
+
 def gather_fields(table: jnp.ndarray, idx: jnp.ndarray, fields) -> tuple:
     """Fetch per-lane shading attributes: ``split(table[idx], fields)``
     with a TPU-native data layout.
@@ -106,6 +136,14 @@ def gather_fields(table: jnp.ndarray, idx: jnp.ndarray, fields) -> tuple:
         return unpack(gather_rows(table, idx), fields)
 
     fields = tuple(fields)
+
+    if USE_PALLAS_PACKGATHER and jax.default_backend() == "tpu":
+        # Pallas pack-gather: the one-hot lives in VMEM only (the XLA
+        # matmul below materializes it as an f32[T, N] HBM buffer per
+        # product — the largest avoidable HBM stream of the fwd+bwd step;
+        # see kernels/packgather_pallas.py).
+        from ..kernels.packgather_pallas import gather_rows_t
+        return _split_concat_vjp(gather_rows_t(table, idx), fields)
 
     def onehot(i):
         return (jnp.arange(T, dtype=i.dtype)[:, None]

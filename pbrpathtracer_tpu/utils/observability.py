@@ -77,7 +77,7 @@ def wavefront_occupancy(scene, camera, cfg, sample_idx=0):
             hit, idx, t, u, v = closest_hit(scene, cfg, state.ro, state.rd,
                                             seed, pix, s_idx, stream)
 
-            def shadow_trace(p, l):
+            def shadow_trace(p, l, sh_alive=None):
                 return closest_hit(scene, cfg, p, l, seed, pix, s_idx,
                                    stream,
                                    slot_base=rng.SLOT_NEE_OPACITY_BASE)

@@ -124,7 +124,7 @@ def test_translucent_ior_grad_matches_fd_stable_lanes():
     state = WavefrontState.initial(ro, rd, pix)
     hitres = closest_hit(scene, cfg, ro, rd, seed, pix, s0, stream)
 
-    def stub_shadow(p, l):
+    def stub_shadow(p, l, sh_alive=None):
         z = jnp.zeros((N,), jnp.float32)
         return (jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32), z, z, z)
 
