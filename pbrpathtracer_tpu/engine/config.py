@@ -148,11 +148,24 @@ class RenderConfig:
             raise ValueError(f"unknown compact_wavefront {mode!r}")
         return mode
 
-    def resolved_remat(self, unroll: int) -> str:
-        """Remat policy given the resolved unroll factor."""
+    def resolved_remat(self, unroll: int, scene=None) -> str:
+        """Remat policy given the resolved unroll factor (and the scene).
+
+        "off" (stash all residuals) is only safe for SMALL scenes: the
+        fully-unrolled flagship measured fastest with it (21.9 vs 32.0 ms),
+        but the stash grows with every unfused intermediate — at 512²
+        rays x 50k textured triangles the XLA:TPU compiler reported a
+        79 GB HBM allocation (ladder rung 3's "TPU worker crashed"), where
+        "hits" remat keeps residuals to the per-query output rows. Auto
+        therefore picks "off" only when the segment loop is unrolled AND
+        the scene is small (≤ bvh_threshold triangles), else "hits"."""
         if self.remat_segments != "auto":
             return self.remat_segments
-        return "off" if unroll >= self.resolved_max_segments() else "hits"
+        small_scene = (scene is not None
+                       and scene.num_triangles <= self.bvh_threshold)
+        if unroll >= self.resolved_max_segments() and small_scene:
+            return "off"
+        return "hits"
 
     def with_auto_segments(self, scene, tol: float = 1e-3) -> "RenderConfig":
         """Replace max_segments with suggest_max_segments(scene, ...)."""

@@ -116,7 +116,7 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
     # residuals in fused form, where *no* remat is fastest (21.9 ms);
     # gradients are identical either way.
     unroll = cfg.resolved_unroll(state.ro.shape[0])
-    remat = cfg.resolved_remat(unroll)
+    remat = cfg.resolved_remat(unroll, scene)
     if remat == "hits":
         segment = jax.checkpoint(
             segment,
