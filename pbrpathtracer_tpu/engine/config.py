@@ -85,12 +85,15 @@ class RenderConfig:
     # device dispatch (None = auto from dispatch_pair_budget). The tunneled
     # v5e kills dispatches in the minutes range; ~25 s dispatches survive.
     max_spp_per_dispatch: int | None = None
-    # Auto budget: (rays x padded tris) pair tests per dispatch. 2.5e13 ~=
-    # one 512^2 sample at 50k tris (~3 s on a v5e) — dispatches of that
-    # size ran 58-in-a-row stable on the tunneled chip, while ~22 s
-    # dispatches died intermittently with "TPU worker crashed". Cornell
-    # -sized scenes stay single-dispatch into the hundreds of spp.
-    dispatch_pair_budget: float = 2.5e13
+    # Auto budget: (rays x padded tris) pair tests per dispatch. One 512^2
+    # sample at 50k tris is 1.31e10 pairs and measures ~2.5 s on the v5e
+    # (~5e9 dense-equivalent pairs/s), so 5e10 keeps dispatches under
+    # ~10 s — safely inside the tunneled worker's watchdog (it killed a
+    # ~190 s dispatch; that kill was ladder rung 3's "worker crashed").
+    # The budget is an upper bound: the list kernel's culling makes big
+    # scenes cheaper than their dense pair count. Cornell-sized scenes
+    # stay single-dispatch into the thousands of spp.
+    dispatch_pair_budget: float = 5e10
 
     # Live-lane wavefront compaction (ops/compaction.py): reorder lanes so
     # the live ones form a contiguous prefix each segment; the Pallas
