@@ -1,8 +1,15 @@
 #!/usr/bin/env python
-"""Round-4 on-chip evidence runner — ONE process, all measurements.
+"""Round-4 on-chip evidence runner — crash-resilient orchestration.
 
-The tunneled v5e worker destabilizes under repeated client churn, so every
-piece of round-4 TPU evidence runs sequentially inside this single client:
+The tunneled v5e worker dies stochastically (~1%/multi-second dispatch or
+compile — reproduced: identical 64-dispatch sequences pass or kill the
+worker on different runs), so the orchestrator runs every section as its
+OWN subprocess, gated on a worker-liveness probe (a hung connect to a dead
+worker never unblocks inside a process, so the probe runs out-of-process
+with a timeout and the section only launches once a fresh client
+succeeds). Failed sections are retried once after the worker returns.
+
+Sections (``--section NAME`` runs one in-process):
 
   1. dense-kernel CHUNK/PAIR_BUDGET sweep (flagship Cornell),
   2. BASELINE ladder rungs 3-4 (50k-tri texture grads, translucent+DOF),
@@ -71,15 +78,71 @@ def devtime(f, args_of, reps):
     return ((t2 - t1) - (t1 - t0)) / reps
 
 
-def main():
+PROBE = ("import warnings; warnings.filterwarnings('ignore');"
+         "import jax, jax.numpy as jnp;"
+         "jax.block_until_ready(jax.jit(lambda a: a @ a)"
+         "(jnp.ones((128, 128))))")
+
+
+def wait_for_worker(max_probes=40, sleep_s=45):
+    """Block until a fresh client can run a tiny jitted matmul."""
+    import subprocess
+    for i in range(1, max_probes + 1):
+        r = subprocess.run([sys.executable, "-c", PROBE], timeout=150,
+                           capture_output=True)
+        if r.returncode == 0:
+            return i
+        time.sleep(sleep_s)
+    raise RuntimeError("worker never came back")
+
+
+SECTIONS = ["kernel_sweep", "ladder_3", "ladder_4", "list_kernel_onchip",
+            "oracle_parity_onchip", "deep_translucent",
+            "fwd_regression_note", "ladder_5"]
+
+
+def orchestrate():
+    import subprocess
+    done = set()
+    if os.path.exists(OUT):
+        for line in open(OUT):
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            if d.get("status") == "ok":
+                done.add(d.get("section"))
+    for section in SECTIONS:
+        if section in done:
+            print(f"[orchestrator] {section}: already ok, skipping",
+                  flush=True)
+            continue
+        attempts = 8 if section in ("ladder_3", "ladder_5") else 2
+        for attempt in range(1, attempts + 1):
+            probes = wait_for_worker()
+            print(f"[orchestrator] {section} attempt {attempt} "
+                  f"(worker up after {probes} probes)", flush=True)
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__),
+                 "--section", section], timeout=3600)
+            ok = False
+            if os.path.exists(OUT):
+                lines = [json.loads(l) for l in open(OUT)]
+                ok = any(d.get("section") == section
+                         and d.get("status") == "ok" for d in lines)
+            if ok:
+                break
+            print(f"[orchestrator] {section} attempt {attempt} failed "
+                  f"(rc={r.returncode})", flush=True)
+
+
+def run_section(name):
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     t0 = time.time()
     jax.block_until_ready(jax.jit(lambda a: a @ a)(jnp.ones((256, 256))))
-    emit("health", {"status": "ok", "warmup_s": round(time.time() - t0, 1),
-                    "device": str(jax.devices()[0])})
 
     from pbrpathtracer_tpu.scene.builders import (cornell_box,
                                                   translucent_scene)
@@ -105,28 +168,38 @@ def main():
         ref = None
         try:
             ip.LIST_KERNEL_MIN_CHUNKS = 1 << 30
-            for max_chunk in (8, 16, 32, 40):
-                for budget in (128 * 1024, 256 * 1024, 512 * 1024):
-                    ip.MAX_CHUNK = max_chunk
-                    ip.PAIR_BUDGET = budget
-                    f = jax.jit(
-                        lambda ro, rd: ip.intersect_pallas(scene, ro, rd))
-                    out = f(ro, rd)
-                    jax.block_until_ready(out)
-                    cur = [np.asarray(x) for x in out]
-                    if ref is None:
-                        ref = cur
-                    elif not all(np.array_equal(a, b)
-                                 for a, b in zip(cur, ref)):
-                        rows[f"c{max_chunk}_b{budget//1024}K"] = "MISMATCH"
-                        continue
-                    t = devtime(f, lambda i: (ro, rd), 24)
-                    rows[f"c{max_chunk}_b{budget//1024}K"] = round(t * 1e3, 3)
+            fns = {}
+            for max_chunk in (8, 16, 40):
+                ip.MAX_CHUNK = max_chunk
+                ip.PAIR_BUDGET = 256 * 1024
+                f = jax.jit(
+                    lambda ro, rd: ip.intersect_pallas(scene, ro, rd))
+                out = f(ro, rd)
+                jax.block_until_ready(out)
+                cur = [np.asarray(x) for x in out]
+                if ref is None:
+                    ref = cur
+                elif not all(np.array_equal(a, b)
+                             for a, b in zip(cur, ref)):
+                    rows[f"c{max_chunk}"] = "MISMATCH"
+                    continue
+                fns[max_chunk] = f
+            # interleaved trials, median-of-5 per config (single-trial
+            # queued slopes on a 0.5 ms kernel are ±0.2 ms on this tunnel)
+            trials = {k: [] for k in fns}
+            for _ in range(5):
+                for k, f in fns.items():
+                    trials[k].append(devtime(f, lambda i: (ro, rd), 48))
+            for k, ts in trials.items():
+                rows[f"c{k}"] = round(float(np.median(ts)) * 1e3, 3)
         finally:
             ip.MAX_CHUNK, ip.PAIR_BUDGET, ip.LIST_KERNEL_MIN_CHUNKS = orig
         return {"query_ms_by_config": rows,
-                "note": "512^2 cornell closest-hit, dense kernel forced"}
-    fenced("kernel_sweep", sweep)
+                "note": "512^2 cornell closest-hit, dense kernel forced; "
+                        "median of 5 interleaved queued-slope trials"}
+    if name == "kernel_sweep":
+        fenced("kernel_sweep", sweep)
+        return
 
     # ---- 2. ladder rungs 3-4 -------------------------------------------
     def ladder(rungs):
@@ -155,7 +228,88 @@ def main():
                 raise RuntimeError(f"rung {l.get('rung')}: "
                                    f"{l.get('error', 'failed')}")
         return {"rungs": lines}
-    fenced("ladder_3_4", lambda: ladder("3,4"))
+    def ladder3_resumable():
+        """Rung 3 with per-sample checkpointing: the tunneled worker dies
+        stochastically (~1% per multi-second dispatch), so the 64-sample
+        render accumulates through a host-side .npz checkpoint and each
+        orchestrator retry RESUMES instead of restarting. Keyed RNG makes
+        the resumed accumulation identical to an uninterrupted run."""
+        from pbrpathtracer_tpu.scene.big_scenes import (mesh_scene,
+                                                        mesh_scene_camera)
+        from pbrpathtracer_tpu.ops.integrator import _accum_chunk
+        ckpt = "/tmp/r4_rung3_ckpt.npz"
+        scene = mesh_scene(50_000, accel="always")
+        mcam = mesh_scene_camera()
+        spp, size = 64, 512
+        cfg = RenderConfig(width=size, height=size, max_depth=3, spp=spp)
+        if os.path.exists(ckpt):
+            d = np.load(ckpt)
+            accum = jnp.asarray(d["accum"])
+            s_start = int(d["s"])
+            spent = float(d["spent"])
+        else:
+            accum = jnp.zeros((size * size, 3), jnp.float32)
+            s_start, spent = 0, 0.0
+        t0 = time.time()
+        for s in range(s_start, spp):
+            accum = _accum_chunk(scene, mcam, cfg, accum, 1,
+                                 jnp.uint32(s), jnp.uint32(cfg.seed))
+            jax.block_until_ready(accum)
+            np.savez(ckpt, accum=np.asarray(accum), s=s + 1,
+                     spent=spent + time.time() - t0)
+        render_s = spent + time.time() - t0
+        img = np.asarray(accum).reshape(size, size, 3) / spp
+        assert np.isfinite(img).all() and img.max() > 0.05
+
+        # texture grads at full resolution (one fwd+bwd dispatch)
+        from pbrpathtracer_tpu import grad_render
+        tcfg = cfg.replace(spp=1)
+        target = jnp.zeros((size, size, 3), jnp.float32)
+        loss, g = grad_render(scene, mcam, tcfg, target, materials=False,
+                              textures=True)
+        gt = np.asarray(g["tex.data"])
+        assert np.isfinite(gt).all() and np.abs(gt).max() > 0
+
+        # FD probe of the top-3 texels (BASELINE config 3 contract)
+        from pbrpathtracer_tpu.diff.loss import (l2_image_loss,
+                                                 finite_difference_grad)
+        from pbrpathtracer_tpu.diff.params import get_params
+        fcfg = RenderConfig(width=64, height=64, max_depth=2, spp=1, seed=5)
+        ftarget = jnp.zeros((64, 64, 3), jnp.float32)
+        params = get_params(scene, mcam, materials=False, textures=True)
+        lossf = jax.jit(lambda p: l2_image_loss(p, scene, mcam, fcfg,
+                                                ftarget))
+        adt = np.asarray(jax.jit(jax.grad(lambda p: l2_image_loss(
+            p, scene, mcam, fcfg, ftarget)))(params)["tex.data"])
+        flat = np.abs(adt).reshape(-1)
+        top = np.argsort(flat)[-3:].tolist()
+        fd = finite_difference_grad(lossf, params, "tex.data", eps=5e-3,
+                                    indices=top).reshape(-1)
+        texel_checks = {}
+        for i in top:
+            ad_i, fd_i = float(adt.reshape(-1)[i]), float(fd[i])
+            rel = abs(ad_i - fd_i) / max(abs(fd_i), 1e-12)
+            assert ad_i != 0.0 and rel < 0.01, (i, ad_i, fd_i, rel)
+            texel_checks[str(i)] = {"ad": ad_i, "fd": fd_i, "rel": rel}
+        result = {"rung": "3-mesh50k-texgrads", "status": "ok",
+                  "seconds": round(render_s, 2),
+                  "tris": int(scene.num_triangles),
+                  "mean": float(img.mean()),
+                  "render_s_total": round(render_s, 2),
+                  "paths_per_s": round(size * size * spp / render_s, 1),
+                  "resumed_from_sample": s_start,
+                  "texel_fd_checks": texel_checks}
+        with open(LADDER_OUT, "a") as f:
+            f.write(json.dumps(result) + "\n")
+        os.remove(ckpt)
+        return result
+
+    if name == "ladder_3":
+        fenced("ladder_3", ladder3_resumable)
+        return
+    if name == "ladder_4":
+        fenced("ladder_4", lambda: ladder("4"))
+        return
 
     # ---- 3. list-kernel on-chip bit-exactness ---------------------------
     def list_onchip():
@@ -173,25 +327,42 @@ def main():
         pix = jnp.arange(N, dtype=jnp.int32)
         ro, rd = generate_rays(mcam, 256, 256, jnp.uint32(0), jnp.uint32(0),
                                pix)
+        from pbrpathtracer_tpu.ops.intersect import intersect_classic
         f_list = jax.jit(lambda ro, rd: intersect_pallas(scene, ro, rd))
         f_mm = jax.jit(
             lambda ro, rd: intersect_matmul(scene.geom, ro, rd))
+        f_cl = jax.jit(
+            lambda ro, rd: intersect_classic(scene.geom, ro, rd))
         a = f_list(ro, rd)
         b = f_mm(ro, rd)
-        jax.block_until_ready((a, b))
-        exact = {}
-        for name, x, y in zip(("hit", "idx", "t", "u", "v"), a, b):
-            exact[name] = bool(np.array_equal(np.asarray(x), np.asarray(y)))
+        c = f_cl(ro, rd)
+        jax.block_until_ready((a, b, c))
+        # The list kernel replicates the CLASSIC Möller–Trumbore operation
+        # order → bit-exact vs classic; the matmul (bilinear MXU) route
+        # computes the same quantities through different arithmetic →
+        # same discrete winners, t/u/v equal to f32 round-off.
+        exact_cl = {}
+        for nm, x, y in zip(("hit", "idx", "t", "u", "v"), a, c):
+            exact_cl[nm] = bool(np.array_equal(np.asarray(x),
+                                               np.asarray(y)))
+        assert all(exact_cl.values()), f"vs classic not bit-exact: {exact_cl}"
+        assert bool(np.array_equal(np.asarray(a[0]), np.asarray(b[0])))
+        assert bool(np.array_equal(np.asarray(a[1]), np.asarray(b[1])))
+        t_err = float(np.abs(np.asarray(a[2]) - np.asarray(b[2])).max())
+        assert t_err < 1e-4, t_err
         t_list = devtime(f_list, lambda i: (ro, rd), 12)
         t_mm = devtime(f_mm, lambda i: (ro, rd), 6)
         return {"tris": int(scene.num_triangles),
                 "rays": N,
-                "bit_exact": exact,
-                "all_exact": all(exact.values()),
+                "bit_exact_vs_classic": exact_cl,
+                "winners_exact_vs_matmul": True,
+                "t_max_err_vs_matmul": t_err,
                 "t_list_ms": round(t_list * 1e3, 3),
                 "t_matmul_ms": round(t_mm * 1e3, 3),
                 "speedup": round(t_mm / t_list, 2)}
-    fenced("list_kernel_onchip", list_onchip)
+    if name == "list_kernel_onchip":
+        fenced("list_kernel_onchip", list_onchip)
+        return
 
     # ---- 4. on-chip oracle parity, textures engaged ---------------------
     def oracle_onchip():
@@ -214,7 +385,9 @@ def main():
                 "outlier_frac_gt_1e-3": outliers,
                 "inlier_mean_err": inlier_mean,
                 "tolerance": "outliers<=2% (knife-edge ties), inliers<1e-4"}
-    fenced("oracle_parity_onchip", oracle_onchip)
+    if name == "oracle_parity_onchip":
+        fenced("oracle_parity_onchip", oracle_onchip)
+        return
 
     # ---- 5. deep translucent workload, compaction A/B -------------------
     def deep():
@@ -246,7 +419,9 @@ def main():
                             out["t_fwd_ms_off"]) / 1e3), 1)
         out["segments"] = segs
         return out
-    fenced("deep_translucent", deep)
+    if name == "deep_translucent":
+        fenced("deep_translucent", deep)
+        return
 
     # ---- 6. forward-regression note: r2-era graph, canonical timing -----
     def fwd_regression():
@@ -264,11 +439,23 @@ def main():
             out[f"t_fwd_ms_{name}"] = round(
                 devtime(f, lambda i: (jnp.uint32(i),), 24) * 1e3, 3)
         return out
-    fenced("fwd_regression_note", fwd_regression)
+    if name == "fwd_regression_note":
+        fenced("fwd_regression_note", fwd_regression)
+        return
 
     # ---- 7. ladder rung 5 (heaviest, last) ------------------------------
-    fenced("ladder_5", lambda: ladder("5"))
+    if name == "ladder_5":
+        fenced("ladder_5", lambda: ladder("5"))
+        return
+    raise SystemExit(f"unknown section {name}")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--section", default=None)
+    args = ap.parse_args()
+    if args.section:
+        run_section(args.section)
+    else:
+        orchestrate()

@@ -87,13 +87,14 @@ class RenderConfig:
     max_spp_per_dispatch: int | None = None
     # Auto budget: (rays x padded tris) pair tests per dispatch. One 512^2
     # sample at 50k tris is 1.31e10 pairs and measures ~2.5 s on the v5e
-    # (~5e9 dense-equivalent pairs/s), so 5e10 keeps dispatches under
-    # ~10 s — safely inside the tunneled worker's watchdog (it killed a
-    # ~190 s dispatch; that kill was ladder rung 3's "worker crashed").
-    # The budget is an upper bound: the list kernel's culling makes big
-    # scenes cheaper than their dense pair count. Cornell-sized scenes
-    # stay single-dispatch into the thousands of spp.
-    dispatch_pair_budget: float = 5e10
+    # (~5e9 dense-equivalent pairs/s). The tunneled worker kills long
+    # dispatches and is flaky even at ~8 s (measured: 22 one-sample
+    # ~2.5 s dispatches ran 64-in-a-row stable; 3-sample ~8 s dispatches
+    # crashed the worker mid-run twice), so the budget targets ~2-3 s.
+    # It is an upper bound: the list kernel's culling makes big scenes
+    # cheaper than their dense pair count. Cornell-sized scenes stay
+    # single-dispatch into the thousands of spp.
+    dispatch_pair_budget: float = 1.5e10
 
     # Live-lane wavefront compaction (ops/compaction.py): reorder lanes so
     # the live ones form a contiguous prefix each segment; the Pallas
@@ -101,11 +102,14 @@ class RenderConfig:
     # "sort" (one variadic stable sort of the state) | "gather"
     # (perm sort + per-column gathers). Semantically exact either way
     # (keyed RNG travels with the lane; ops/compaction.py on the ULP
-    # caveat under whole-render jit). "auto": on for deep workloads on
-    # TPU (segment cap > compact_min_segments), where occupancy decay pays
-    # for the per-segment permutation; off for shallow renders.
+    # caveat under whole-render jit). MEASURED ON-CHIP (512² translucent
+    # depth-8, 18 segments, occupancy decaying to 1%): off 23.5 ms,
+    # sort 52.7 ms, gather 548 ms — lane-dimension permutation costs far
+    # more than the skipped intersection work on TPU (R4_EVIDENCE), so
+    # "auto" resolves to OFF; the modes remain for other workload shapes.
+    # Dead lanes are instead culled INSIDE the kernels via the alive mask
+    # (clean-miss contract), which is free.
     compact_wavefront: str = "auto"
-    compact_min_segments: int = 12
 
     # Structurally skip bounce segments once every lane is dead (lax.cond).
     # Big win for renders with dead tails (all routes, incl. BVH — the old
@@ -141,11 +145,8 @@ class RenderConfig:
         "gather") for this wavefront."""
         mode = self.compact_wavefront
         if mode == "auto":
-            import jax
-            if (jax.default_backend() == "tpu"
-                    and self.resolved_max_segments()
-                    > self.compact_min_segments):
-                return "sort"
+            # measured net-negative on the v5e at every depth (docstring);
+            # in-kernel alive masking already skips dead-lane work
             return "off"
         if mode not in ("off", "sort", "gather"):
             raise ValueError(f"unknown compact_wavefront {mode!r}")

@@ -147,7 +147,7 @@ def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None,
     return jnp.pad(row, ((0, 0), (0, lpad)))
 
 
-def _kernel(CHUNK, TILE, r_ref, lists_ref, boxes_ref, w_ref,
+def _kernel(CHUNK, TILE, L, r_ref, lists_ref, boxes_ref, w_ref,
             of_ref, oi_ref, list_smem, wbuf, lsem, wsems):
     # outputs live per tile: initialize before the candidate loop.
     # of columns: t(BIG), u(0), v(0); oi column 0: winner id.
@@ -156,7 +156,14 @@ def _kernel(CHUNK, TILE, r_ref, lists_ref, boxes_ref, w_ref,
     oi_ref[:] = jnp.zeros_like(oi_ref)
 
     i = pl.program_id(0)
-    ldma = pltpu.make_async_copy(lists_ref.at[i], list_smem, lsem)
+    # lists ship FLATTENED 1-D: a [1, L] row slice of a (8,128)-tiled 2-D
+    # memref is misaligned on dim 0 for some shapes (Mosaic: "slice shape
+    # along dimension 0 must be aligned to tiling (8)" — hit at the
+    # 1M-triangle rung), while a 1-D slice at a 128-aligned offset with a
+    # 128-multiple length is always legal (L pads to 128).
+    off = pl.multiple_of(i * L, 128)
+    ldma = pltpu.make_async_copy(lists_ref.at[pl.ds(off, L)], list_smem,
+                                 lsem)
     ldma.start()
     ldma.wait()
     count = list_smem[0]
@@ -286,14 +293,15 @@ def run_list_kernel(R, W, boxes, lists, shapes, interpret=False):
     w_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     out_spec = pl.BlockSpec((TILE, 8), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    L = lists.shape[1]
     return pl.pallas_call(
-        functools.partial(_kernel, CHUNK, TILE),
+        functools.partial(_kernel, CHUNK, TILE, L),
         grid=grid,
         in_specs=[ray_spec, lists_spec, box_spec, w_spec],
         out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((lists.shape[1],), jnp.int32),
+            pltpu.SMEM((L,), jnp.int32),
             pltpu.VMEM((2, 16, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -301,4 +309,4 @@ def run_list_kernel(R, W, boxes, lists, shapes, interpret=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(R, lists, boxes, W)
+    )(R, lists.reshape(-1), boxes, W)

@@ -117,3 +117,31 @@ def test_texture_gradients_flow():
     # gradient lands on texture 0 (the used checker), not on others
     assert np.abs(gt[0]).max() > 0
     assert np.abs(gt[2]).max() == 0
+
+
+def test_texture_fit_at_scale_512():
+    """BASELINE config-5-style texture fit with a REAL-sized texture leaf
+    (512x512x4 per texture, ~8.4 MB of texel parameters): the scatter-add
+    texel VJP must produce finite grads and a decreasing loss
+    (VERDICT r3 next #8)."""
+    from pbrpathtracer_tpu.scene.big_scenes import (mesh_scene,
+                                                    mesh_scene_camera)
+    from pbrpathtracer_tpu.diff.fit import fit
+
+    scene = mesh_scene(n_tris=1500, textured=True, accel=None, tex_size=512)
+    assert scene.textures.data.shape[1] >= 512
+    mcam = mesh_scene_camera()
+    cfg = RenderConfig(width=24, height=24, max_depth=2, spp=1, seed=1)
+    target = np.full((24, 24, 3), 0.28, np.float32)
+    res = fit(scene, mcam, cfg, target, steps=4, lr=5e-2,
+              materials=False, textures=True, sample_offset_per_step=False)
+    assert len(res.losses) == 4
+    assert all(np.isfinite(res.losses))
+    # deterministic seed (no per-step resample) => monotone-ish descent
+    assert res.losses[-1] < res.losses[0], res.losses
+    gtex = np.asarray(res.params["tex.data"])
+    assert gtex.shape[1:] == (512, 512, 4)
+    assert np.isfinite(gtex).all()
+    # the fit actually moved texels (non-trivial update through scatter-add)
+    base = np.asarray(scene.textures.data)
+    assert np.abs(gtex - base).max() > 1e-4
