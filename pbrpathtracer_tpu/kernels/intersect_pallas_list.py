@@ -142,8 +142,12 @@ def build_tile_lists(ro, rd, chunk_lo, chunk_hi, tile, group, n_valid=None,
     # stable argsort of ~cand puts candidate chunk ids first, ascending
     order = jnp.argsort(~cand, axis=1, stable=True).astype(jnp.int32)
     row = jnp.concatenate([counts[:, None], order], axis=1)
-    # Mosaic DMAs slice lanes at 128 granularity: pad the row width
-    lpad = (-row.shape[1]) % 128
+    # The kernel DMAs per-tile rows as 1-D slices of the flattened array;
+    # Mosaic tiles 1-D i32 memrefs at (1024), so both the row width and
+    # the slice offsets must be 1024-aligned (128 was enough for the lane
+    # rule but not for the 1-D tiling — Mosaic rejected 128-slices of a
+    # (1024)-tiled buffer).
+    lpad = (-row.shape[1]) % 1024
     return jnp.pad(row, ((0, 0), (0, lpad)))
 
 
@@ -159,9 +163,9 @@ def _kernel(CHUNK, TILE, L, r_ref, lists_ref, boxes_ref, w_ref,
     # lists ship FLATTENED 1-D: a [1, L] row slice of a (8,128)-tiled 2-D
     # memref is misaligned on dim 0 for some shapes (Mosaic: "slice shape
     # along dimension 0 must be aligned to tiling (8)" — hit at the
-    # 1M-triangle rung), while a 1-D slice at a 128-aligned offset with a
-    # 128-multiple length is always legal (L pads to 128).
-    off = pl.multiple_of(i * L, 128)
+    # 1M-triangle rung). 1-D i32 memrefs tile at (1024), so rows are
+    # padded to 1024 and slices land on 1024-aligned offsets.
+    off = pl.multiple_of(i * L, 1024)
     ldma = pltpu.make_async_copy(lists_ref.at[pl.ds(off, L)], list_smem,
                                  lsem)
     ldma.start()
