@@ -88,10 +88,13 @@ def wait_for_worker(max_probes=40, sleep_s=45):
     """Block until a fresh client can run a tiny jitted matmul."""
     import subprocess
     for i in range(1, max_probes + 1):
-        r = subprocess.run([sys.executable, "-c", PROBE], timeout=150,
-                           capture_output=True)
-        if r.returncode == 0:
-            return i
+        try:
+            r = subprocess.run([sys.executable, "-c", PROBE], timeout=150,
+                               capture_output=True)
+            if r.returncode == 0:
+                return i
+        except subprocess.TimeoutExpired:
+            pass   # hung probe counts as a failed probe, keep waiting
         time.sleep(sleep_s)
     raise RuntimeError("worker never came back")
 
@@ -122,9 +125,13 @@ def orchestrate():
             probes = wait_for_worker()
             print(f"[orchestrator] {section} attempt {attempt} "
                   f"(worker up after {probes} probes)", flush=True)
-            r = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__),
-                 "--section", section], timeout=3600)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-u", os.path.abspath(__file__),
+                     "--section", section], timeout=3600)
+                rc = r.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"   # hung section = failed attempt, retry
             ok = False
             if os.path.exists(OUT):
                 lines = [json.loads(l) for l in open(OUT)]
@@ -133,7 +140,7 @@ def orchestrate():
             if ok:
                 break
             print(f"[orchestrator] {section} attempt {attempt} failed "
-                  f"(rc={r.returncode})", flush=True)
+                  f"(rc={rc})", flush=True)
 
 
 def run_section(name):

@@ -96,8 +96,9 @@ def _traverse_one(bvh_arrays, tris, leaf_size, ro, rd, t_lower, start):
 
 def intersect_bvh(scene, ro, rd, t_lower=None, leaf_size=None, alive=None):
     """Closest-hit query through scene.accel. Same contract as the dense
-    intersectors (ops/intersect.py). Dead lanes (``alive`` False) skip the
-    walk entirely via an exhausted t_lower and report a clean miss."""
+    intersectors (ops/intersect.py). Dead lanes (``alive`` False) start at
+    the end cursor (node count M) — a zero-length walk — and report a
+    clean miss."""
     bvh: FlatBVH = scene.accel
     assert bvh is not None, "scene has no BVH; build with with_accel()"
     if t_lower is None:

@@ -80,6 +80,12 @@ class RenderConfig:
     # rays x segments ceiling for auto-unroll (10M lanes x ~100 B of live
     # residuals per lane ≈ 1 GB HBM — comfortable on a 16 GB chip).
     unroll_budget_lanes: int = 16 * 1024 * 1024
+    # Forward-only hint: set by entry points that can never be
+    # differentiated (session progressive passes, the chunked-dispatch
+    # render loop). Drops the spp multiplier from the unroll budget —
+    # forward renders stash no residuals, so multi-spp forward passes on
+    # small scenes keep the measured-faster fully-unrolled segment loop.
+    forward_only: bool = False
 
     # Watchdog-safe dispatch sizing for un-jitted render(): max samples per
     # device dispatch (None = auto from dispatch_pair_budget). The tunneled
@@ -129,14 +135,16 @@ class RenderConfig:
         program: under grad of a multi-sample loss, render_accumulate scans
         over spp and the unrolled remat-"off" residual stash multiplies by
         spp — so spp participates in the budget (high-spp gradient workloads
-        fall back to the rolled scan + "hits" remat instead of OOMing)."""
+        fall back to the rolled scan + "hits" remat instead of OOMing).
+        Forward-only paths (cfg.forward_only) stash no residuals and use
+        the pure n_rays*segs budget."""
         if self.unroll_segments != "auto":
             return int(self.unroll_segments)
         import jax
         segs = self.resolved_max_segments()
+        spp_factor = 1 if self.forward_only else max(self.spp, 1)
         if (jax.default_backend() == "tpu"
-                and n_rays * segs * max(self.spp, 1)
-                <= self.unroll_budget_lanes):
+                and n_rays * segs * spp_factor <= self.unroll_budget_lanes):
             return segs
         return 1
 

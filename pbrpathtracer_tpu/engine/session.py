@@ -68,7 +68,9 @@ class RenderSession:
             self._camera = self.editor.tracer_camera()
         if self._scene is None or self._camera is None:
             raise RuntimeError("no scene: give an editor or (scene, camera)")
-        cfg = self.cfg
+        # Progressive passes are forward-only by construction: keep the
+        # pure n_rays*segs unroll budget (no spp residual multiplier).
+        cfg = self.cfg.replace(forward_only=True)
         scene, camera = self._scene, self._camera
 
         @jax.jit

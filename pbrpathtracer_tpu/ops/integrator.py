@@ -188,10 +188,18 @@ def render(scene: Scene, camera: Camera, cfg, seed=None):
         traced = not trace_state_clean()
     except ImportError:  # future JAX: conservatively assume traced
         traced = True
-    if traced or chunk >= cfg.spp:
+    if traced:
         accum = render_accumulate(scene, camera, cfg, accum, 0, cfg.spp,
                                   seed=seed)
     else:
+        # Host-side dispatch loop (single pass when chunk >= spp): always
+        # through the JITTED _accum_chunk — an unjitted render_accumulate
+        # dispatches op-by-op, which on a tunneled device pays the
+        # host<->device RTT per op (measured ~300x slower than the
+        # compiled program on small renders). Forward-only by
+        # construction — drop the spp residual multiplier from the
+        # unroll budget.
+        cfg = cfg.replace(forward_only=True)
         seed = (jnp.uint32(cfg.seed) if seed is None
                 else jnp.asarray(seed, jnp.uint32))
         for s0 in range(0, cfg.spp, chunk):

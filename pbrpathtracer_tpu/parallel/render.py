@@ -122,7 +122,15 @@ def make_train_step_overlapped(scene_template: Scene, camera_template: Camera,
         loss = jax.lax.psum(jnp.sum(diff * diff), axes) / (n_pix * 3)
 
         # ---- pass 2: per-sample VJP with the psum one sample behind ----
+        # Sample 0's VJP runs before the scan so the pipeline carries a
+        # REAL pending gradient from iteration one — no wasted full-size
+        # psum of an all-zero pytree (and exactly one psum per sample).
         zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        _, vjp0 = jax.vjp(lambda p: sample_flat(p, scene, camera,
+                                                pixel_idx,
+                                                jnp.uint32(0), seed),
+                          params)
+        (g0,) = vjp0(cot)
 
         def bwd_body(carry, k):
             gacc, gpend = carry
@@ -138,8 +146,8 @@ def make_train_step_overlapped(scene_template: Scene, camera_template: Camera,
             return (gacc, gs), None
 
         (gacc, gpend), _ = jax.lax.scan(
-            bwd_body, (zero_g, zero_g),
-            jnp.arange(cfg.spp, dtype=jnp.uint32))
+            bwd_body, (zero_g, g0),
+            jnp.arange(1, cfg.spp, dtype=jnp.uint32))
         grads = jax.tree_util.tree_map(
             lambda a, g: a + jax.lax.psum(g, axes), gacc, gpend)
 

@@ -80,7 +80,8 @@ def wavefront_occupancy(scene, camera, cfg, sample_idx=0):
             def shadow_trace(p, l, sh_alive=None):
                 return closest_hit(scene, cfg, p, l, seed, pix, s_idx,
                                    stream,
-                                   slot_base=rng.SLOT_NEE_OPACITY_BASE)
+                                   slot_base=rng.SLOT_NEE_OPACITY_BASE,
+                                   alive=sh_alive)
             state = shade_segment(scene, cfg, state, hit, idx, t, u, v,
                                   jnp.uint32(seg), s_idx, seed, shadow_trace)
         return jnp.stack(counts)
