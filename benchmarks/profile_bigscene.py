@@ -51,8 +51,7 @@ def main():
     from pbrpathtracer_tpu.engine.config import RenderConfig
     from pbrpathtracer_tpu.ops.integrator import render_sample
     from pbrpathtracer_tpu.ops.camera import generate_rays
-    from pbrpathtracer_tpu.kernels.intersect_pallas import (
-        MAX_CHUNK, _pick_chunk, _pick_tile, intersect_pallas)
+    from pbrpathtracer_tpu.kernels.intersect_pallas import intersect_pallas
     from pbrpathtracer_tpu.kernels import intersect_pallas_list as ipl
 
     scene = mesh_scene(args.tris, accel="always")
@@ -83,10 +82,9 @@ def main():
     geom = scene.geom
     perm = scene.accel.perm
     T = geom.v0.shape[0]
-    t_pad = ((T + 7) // 8) * 8
-    CHUNK = _pick_chunk(t_pad)
-    t_pad = ((t_pad + CHUNK - 1) // CHUNK) * CHUNK
-    TILE = _pick_tile(1 << 30, CHUNK)
+    CHUNK = ipl.LIST_CHUNK
+    t_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    TILE = ipl.LIST_TILE
     n_pad = ((n_pix + TILE - 1) // TILE) * TILE
     n_chunks = t_pad // CHUNK
     out["n_chunks"] = n_chunks
@@ -112,7 +110,7 @@ def main():
     t = devtime(lambda: build(ro_pad, rd_pad))
     out["t_build_lists_ms"] = round(t * 1e3, 3)
 
-    lists = build(ro_pad, rd_pad)
+    lists, keys = build(ro_pad, rd_pad)
     counts = np.asarray(lists[:, 0])
     out["cand_counts"] = {
         "mean": round(float(counts.mean()), 1),
@@ -129,13 +127,19 @@ def main():
     boxes = jnp.concatenate(
         [chunk_lo, jnp.zeros((n_chunks, 1)), chunk_hi,
          jnp.zeros((n_chunks, 1))], axis=1)
+    n_sub = t_pad // ipl.SUB_CHUNK
+    sub_lo = jnp.min(tri_lo.reshape(n_sub, ipl.SUB_CHUNK, 3), axis=1) - 1e-4
+    sub_hi = jnp.max(tri_hi.reshape(n_sub, ipl.SUB_CHUNK, 3), axis=1) + 1e-4
+    subboxes = jnp.concatenate(
+        [sub_lo, jnp.zeros((n_sub, 1)), sub_hi,
+         jnp.zeros((n_sub, 1))], axis=1)
     tl = jnp.zeros((n_pix,), jnp.float32)
     Rt = jnp.concatenate([rd, ro, tl[:, None],
                           jnp.ones((n_pix, 1), jnp.float32)], axis=1)
     Rt = jnp.pad(Rt, ((0, n_pad - n_pix), (0, 0)))
-    kern = jax.jit(lambda Rt, lists: ipl.run_list_kernel(
-        Rt, Wp, boxes, lists, (n_pad, t_pad, CHUNK, TILE)))
-    t = devtime(lambda: kern(Rt, lists))
+    kern = jax.jit(lambda Rt, lists, keys: ipl.run_list_kernel(
+        Rt, Wp, boxes, subboxes, lists, keys, (n_pad, t_pad, CHUNK, TILE)))
+    t = devtime(lambda: kern(Rt, lists, keys))
     out["t_list_kernel_ms"] = round(t * 1e3, 3)
 
     print(json.dumps(out), flush=True)

@@ -102,20 +102,35 @@ class RenderConfig:
     # single-dispatch into the thousands of spp.
     dispatch_pair_budget: float = 1.5e10
 
-    # Live-lane wavefront compaction (ops/compaction.py): reorder lanes so
-    # the live ones form a contiguous prefix each segment; the Pallas
-    # intersectors then skip whole trailing dead tiles. "off" | "auto" |
-    # "sort" (one variadic stable sort of the state) | "gather"
-    # (perm sort + per-column gathers). Semantically exact either way
-    # (keyed RNG travels with the lane; ops/compaction.py on the ULP
-    # caveat under whole-render jit). MEASURED ON-CHIP (512² translucent
-    # depth-8, 18 segments, occupancy decaying to 1%): off 23.5 ms,
-    # sort 52.7 ms, gather 548 ms — lane-dimension permutation costs far
-    # more than the skipped intersection work on TPU (R4_EVIDENCE), so
-    # "auto" resolves to OFF; the modes remain for other workload shapes.
-    # Dead lanes are instead culled INSIDE the kernels via the alive mask
-    # (clean-miss contract), which is free.
+    # Live-lane wavefront compaction (ops/compaction.py): reorder lanes
+    # each segment; the Pallas intersectors then skip whole dead tiles.
+    # "off" | "auto" | "sort" (one variadic stable sort of the state) |
+    # "gather" (perm sort + per-column gathers). Semantically exact
+    # either way (keyed RNG travels with the lane; ops/compaction.py on
+    # the ULP caveat under whole-render jit). Auto is SCENE-DEPENDENT
+    # (both measured on-chip):
+    #   * small scenes (dense kernel route): OFF — 512² translucent
+    #     depth-8: off 23.5 ms vs sort 52.7 ms (R4_EVIDENCE); in-kernel
+    #     alive masking already skips dead-lane work there.
+    #   * list-route scenes (> bvh_threshold tris): SORT with the
+    #     (dead, octant, Morton) coherence key — the list kernel's
+    #     per-tile candidate sets shrink with tile footprint, and
+    #     scattered dead lanes otherwise keep every tile walking its
+    #     candidates (r5: 50k-tri segment-1..3 bounce queries 164-255 ms
+    #     unsorted vs 66-163 ms sorted; one ~3 ms state sort per segment
+    #     amortizes over the segment's bounce+shadow+opacity queries).
     compact_wavefront: str = "auto"
+
+    # Wavefront pixel ordering: "auto" | "block" | "scan". "block" lays
+    # lanes out in 64x8-pixel blocks instead of scanline order, so each
+    # 512-lane kernel tile covers a COMPACT image rectangle rather than a
+    # full image row — the candidate-list kernel's per-tile chunk sets
+    # (union over the tile's rays) shrink with the tile's spatial
+    # footprint. Pure lane permutation: per-pixel results are bit-exact
+    # (RNG is keyed by pixel id, not lane position); costs one [N,3]
+    # gather at the end of the sample. "auto" = block on TPU for scenes
+    # past bvh_threshold (where the list kernel is the hot path).
+    pixel_order: str = "auto"
 
     # Structurally skip bounce segments once every lane is dead (lax.cond).
     # Big win for renders with dead tails (all routes, incl. BVH — the old
@@ -148,13 +163,28 @@ class RenderConfig:
             return segs
         return 1
 
-    def resolved_compact(self, n_rays: int) -> str:
+    def resolved_pixel_order(self, scene) -> str:
+        """Resolve pixel_order to "block"/"scan" for this scene."""
+        if self.pixel_order != "auto":
+            if self.pixel_order not in ("block", "scan"):
+                raise ValueError(f"unknown pixel_order {self.pixel_order!r}")
+            return self.pixel_order
+        import jax
+        if (jax.default_backend() == "tpu" and scene is not None
+                and scene.num_triangles > self.bvh_threshold):
+            return "block"
+        return "scan"
+
+    def resolved_compact(self, n_rays: int, scene=None) -> str:
         """Resolve compact_wavefront to a concrete mode ("off"/"sort"/
-        "gather") for this wavefront."""
+        "gather") for this wavefront (see compact_wavefront docstring
+        for the measured scene-dependent auto policy)."""
         mode = self.compact_wavefront
         if mode == "auto":
-            # measured net-negative on the v5e at every depth (docstring);
-            # in-kernel alive masking already skips dead-lane work
+            import jax
+            if (jax.default_backend() == "tpu" and scene is not None
+                    and scene.num_triangles > self.bvh_threshold):
+                return "sort"
             return "off"
         if mode not in ("off", "sort", "gather"):
             raise ValueError(f"unknown compact_wavefront {mode!r}")

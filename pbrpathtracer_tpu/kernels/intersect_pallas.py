@@ -74,6 +74,42 @@ INT_BIG = np.int32(2 ** 31 - 1)
 # (intersect_pallas_list.py); small scenes keep the dense grid, whose
 # single-chunk case has no list/DMA bookkeeping at all.
 LIST_KERNEL_MIN_CHUNKS = 4
+# List route only: sort query rays by (dead-last, direction octant,
+# origin Morton) before tiling. Two effects, both measured on the 50k-tri
+# rung-3 scene: (a) dead lanes pack into trailing tiles whose candidate
+# count is 0 (a segment-3 query with 8% lanes live cost 206 ms unsorted —
+# every tile still walked its candidates for a lane or two); (b) live
+# bounce rays regain tile coherence, shrinking each tile's candidate
+# union. Costs one argsort + [N,6]-gather/[N,5]-scatter per query
+# (~28 ms at 512² — why the integrator instead sorts the WHOLE wavefront
+# once per segment with the same key, ops/compaction.coherence_key, and
+# this stays off by default: it serves direct intersect_pallas callers
+# whose rays arrive unsorted).
+SORT_RAYS = False
+
+
+def _spread3(x):
+    """Interleave 8-bit x into every 3rd bit (Morton spread, i32)."""
+    x = x & 0xFF
+    x = (x | (x << 8)) & 0x00F00F
+    x = (x | (x << 4)) & 0x0C30C3
+    x = (x | (x << 2)) & 0x249249
+    return x
+
+
+def _ray_sort_key(ro, rd, alive, bbox_lo, bbox_hi):
+    """i32 sort key: dead rays last; live rays by (octant, origin Morton)."""
+    oct_ = ((rd[:, 0] > 0).astype(jnp.int32)
+            | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((rd[:, 2] > 0).astype(jnp.int32) << 2))
+    scale = 255.0 / jnp.maximum(bbox_hi - bbox_lo, 1e-6)
+    q = jnp.clip((ro - bbox_lo) * scale, 0.0, 255.0).astype(jnp.int32)
+    morton = ((_spread3(q[:, 0]) << 2) | (_spread3(q[:, 1]) << 1)
+              | _spread3(q[:, 2]))
+    key = (oct_ << 24) | morton
+    if alive is None:
+        return key
+    return jnp.where(alive, key, INT_BIG)
 
 
 def _pick_chunk(t_pad: int) -> int:
@@ -281,28 +317,62 @@ def intersect_pallas(geom_or_scene, ro, rd, t_lower=None, perm=None,
          jnp.zeros((n_chunks, 1))], axis=1)          # [n_chunks, 8]
 
     if n_chunks > LIST_KERNEL_MIN_CHUNKS:
-        # Large scene: candidate-list kernel — grid steps and DMAs only
-        # for chunks some ray in the tile can actually hit (the dense
-        # grid is O(tiles x chunks) in both; see intersect_pallas_list).
-        from .intersect_pallas_list import (MAX_SUPER, build_tile_lists,
+        # Large scene: candidate-list kernel — near-to-far sorted
+        # candidate walk with early exit, per-chunk box-gated DMA, and
+        # SUB_CHUNK(128)-masked pair blocks inside surviving chunks
+        # (the dense grid is O(tiles x chunks); see intersect_pallas_list).
+        from .intersect_pallas_list import (LIST_TILE, SUB_CHUNK, MAX_SUPER,
+                                            build_tile_lists,
                                             run_list_kernel)
+        order = None
+        if SORT_RAYS:
+            # scene bbox from the (pad-inert) chunk boxes
+            bbox_lo = jnp.min(chunk_lo, axis=0)
+            bbox_hi = jnp.max(chunk_hi, axis=0)
+            key = _ray_sort_key(ro, rd, alive, bbox_lo, bbox_hi)
+            order = jnp.argsort(key)
+            ro = ro[order]
+            rd = rd[order]
+            t_lower = t_lower[order]
+            alive_f = alive_f[order]
+            if alive is not None:
+                alive = alive[order]
+        if LIST_TILE != TILE:
+            TILE = LIST_TILE
+            n_pad = ((N + TILE - 1) // TILE) * TILE
+            R = jnp.concatenate([rd.T, ro.T, t_lower[None, :],
+                                 alive_f[None, :]], axis=0)
+            R = jnp.pad(R, ((0, 0), (0, n_pad - N)))
+        # sub-boxes at SUB_CHUNK granularity (t_pad is a multiple of
+        # CHUNK, CHUNK a multiple of SUB_CHUNK)
+        n_sub = t_pad // SUB_CHUNK
+        sub_lo = jnp.min(tri_lo.reshape(n_sub, SUB_CHUNK, 3), axis=1) - EPS
+        sub_hi = jnp.max(tri_hi.reshape(n_sub, SUB_CHUNK, 3), axis=1) + EPS
+        subboxes = jnp.concatenate(
+            [sub_lo, jnp.zeros((n_sub, 1)), sub_hi,
+             jnp.zeros((n_sub, 1))], axis=1)         # [n_sub, 8]
         ro_pad = jnp.pad(ro, ((0, n_pad - N), (0, 0)))
         rd_pad = jnp.pad(rd, ((0, n_pad - N), (0, 0)),
                          constant_values=1.0)  # pad rays masked in the cull
         group = (n_chunks + MAX_SUPER - 1) // MAX_SUPER
-        lists = build_tile_lists(ro_pad, rd_pad, chunk_lo, chunk_hi,
-                                 TILE, group, n_valid=N,
-                                 alive=None if alive is None else alive)
+        lists, keys = build_tile_lists(ro_pad, rd_pad, chunk_lo, chunk_hi,
+                                       TILE, group, n_valid=N,
+                                       alive=None if alive is None else alive)
         # transposed layouts (see intersect_pallas_list docstring):
         # rays as [n_pad, 8] columns, triangles as [16, t_pad] planes
         Rt = jnp.concatenate(
             [rd, ro, t_lower[:, None], alive_f[:, None]], axis=1)
         Rt = jnp.pad(Rt, ((0, n_pad - N), (0, 0)))
         Wp = W.T                                     # [16, t_pad]
-        oft, oit = run_list_kernel(Rt, Wp, boxes, lists,
+        oft, oit = run_list_kernel(Rt, Wp, boxes, subboxes, lists, keys,
                                    (n_pad, t_pad, CHUNK, TILE))
         t, u, v = oft[:N, 0], oft[:N, 1], oft[:N, 2]
         i = oit[:N, 0]
+        if order is not None:
+            # scatter results back to the caller's lane order
+            def unsort(x):
+                return jnp.zeros_like(x).at[order].set(x)
+            t, u, v, i = unsort(t), unsort(u), unsort(v), unsort(i)
     else:
         of, oi = _run(R, W, boxes, (n_pad, t_pad))
         t = of[0, :N]

@@ -40,6 +40,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _spread3(x):
+    """Interleave 8-bit x into every 3rd bit (Morton spread, i32)."""
+    x = x & 0xFF
+    x = (x | (x << 8)) & 0x00F00F
+    x = (x | (x << 4)) & 0x0C30C3
+    x = (x | (x << 2)) & 0x249249
+    return x
+
+
+def coherence_key(state, scene):
+    """i32 lane key: dead lanes last; live lanes by (direction octant,
+    origin Morton). Sorting the wavefront by this key each segment packs
+    dead lanes into all-dead tiles (candidate count 0 in the list
+    kernel) AND restores spatial coherence for bounce rays — each ray
+    tile's candidate-chunk union shrinks with its footprint. Measured on
+    the 50k-tri rung-3 scene: unsorted segment-1..3 bounce queries cost
+    164-255 ms; (octant, Morton)-sorted rays cut them 1.5-3x and a
+    92%-dead segment-3 query 3x (206 -> 66 ms in-query; the per-segment
+    state sort amortizes the key sort across the bounce + shadow +
+    opacity queries of the segment).
+
+    The scene bbox reductions are loop-invariant (scene is constant
+    across segments); XLA hoists them out of the segment scan.
+    """
+    g = scene.geom
+    lo = jnp.min(jnp.minimum(jnp.minimum(g.v0, g.v0 + g.e1),
+                             g.v0 + g.e2), axis=0)
+    hi = jnp.max(jnp.maximum(jnp.maximum(g.v0, g.v0 + g.e1),
+                             g.v0 + g.e2), axis=0)
+    rd, ro = state.rd, state.ro
+    oct_ = ((rd[:, 0] > 0).astype(jnp.int32)
+            | ((rd[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((rd[:, 2] > 0).astype(jnp.int32) << 2))
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((ro - lo) * scale, 0.0, 255.0).astype(jnp.int32)
+    morton = ((_spread3(q[:, 0]) << 2) | (_spread3(q[:, 1]) << 1)
+              | _spread3(q[:, 2]))
+    key = (oct_ << 24) | morton
+    return jnp.where(state.alive, key, jnp.int32(2 ** 31 - 1))
+
+
 def _state_columns(state, slot):
     """Flatten (state, slot) into a list of [N] / [N,3] arrays + rebuild."""
     cols = [state.ro, state.rd, state.throughput, state.radiance,
@@ -54,12 +95,13 @@ def _state_columns(state, slot):
     return cols, rebuild
 
 
-def compact_sort(state, slot):
-    """Stable variadic sort by the dead flag: live lanes first.
-
-    Returns (state, slot, n_live)."""
+def compact_sort(state, slot, key=None):
+    """Stable variadic sort by ``key`` (default: the dead flag — live
+    lanes first; pass coherence_key(state, scene) for the octant/Morton
+    layout). Returns (state, slot, n_live)."""
     cols, rebuild = _state_columns(state, slot)
-    key = (~state.alive).astype(jnp.int32)
+    if key is None:
+        key = (~state.alive).astype(jnp.int32)
     n_live = jnp.sum(state.alive.astype(jnp.int32))
     # lax.sort co-sorts operands; 2-D columns sort along axis 0 only if
     # given per-column — split [N,3] into scalars to keep one variadic op.
@@ -85,9 +127,10 @@ def compact_sort(state, slot):
     return st, sl, n_live
 
 
-def compact_gather(state, slot):
-    """Permutation via (flag, iota) sort + per-column gathers."""
-    key = (~state.alive).astype(jnp.int32)
+def compact_gather(state, slot, key=None):
+    """Permutation via (key, iota) sort + per-column gathers."""
+    if key is None:
+        key = (~state.alive).astype(jnp.int32)
     n_live = jnp.sum(state.alive.astype(jnp.int32))
     iota = jnp.arange(key.shape[0], dtype=jnp.int32)
     _, perm = jax.lax.sort((key, iota), num_keys=1, is_stable=True)

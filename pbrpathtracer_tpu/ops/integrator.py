@@ -24,6 +24,23 @@ from .intersect import intersect_matmul, triangle_features
 from .shade import WavefrontState, shade_segment
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def block_pixel_order(width: int, height: int, bw: int = 64, bh: int = 8):
+    """Block-major pixel permutation: consecutive lanes cover bw x bh
+    image rectangles instead of scanlines, so each 512-lane kernel tile
+    spans a compact frustum (cfg.pixel_order). Host-side constant (static
+    shapes); ragged edge blocks simply produce shorter runs."""
+    import numpy as np
+    idx = np.arange(width * height, dtype=np.int32).reshape(height, width)
+    blocks = [idx[y0:y0 + bh, x0:x0 + bw].ravel()
+              for y0 in range(0, height, bh)
+              for x0 in range(0, width, bw)]
+    return np.concatenate(blocks)
+
+
 def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
                   pixel_idx=None, seed=None):
     """Trace one sample per pixel. Returns radiance f32[N, 3].
@@ -33,8 +50,17 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
     SURVEY.md §5 checkpoint row). ``seed`` optionally overrides cfg.seed
     with a *traced* value (no recompile per seed — used by fit loops).
     """
+    blocked = False
     if pixel_idx is None:
-        pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+        if cfg.resolved_pixel_order(scene) == "block":
+            # Compact-tile lane layout (see block_pixel_order). Bit-exact
+            # per pixel: RNG and rays are keyed by the pixel VALUE; only
+            # lane positions change, undone by the scatter at the end.
+            pixel_idx = jnp.asarray(
+                block_pixel_order(cfg.width, cfg.height))
+            blocked = True
+        else:
+            pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
     seed = jnp.uint32(cfg.seed) if seed is None else jnp.asarray(seed, jnp.uint32)
     sample_idx = jnp.uint32(sample_idx)
 
@@ -72,10 +98,17 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
 
     from jax.ad_checkpoint import checkpoint_name
 
-    compact = cfg.resolved_compact(state.ro.shape[0])
+    compact = cfg.resolved_compact(state.ro.shape[0], scene)
     if compact != "off":
-        from .compaction import compact_gather, compact_sort
-        compact_fn = compact_sort if compact == "sort" else compact_gather
+        from .compaction import coherence_key, compact_gather, compact_sort
+        compact_base = compact_sort if compact == "sort" else compact_gather
+        # list-route scenes use the (dead, octant, Morton) coherence key;
+        # small scenes keep the plain dead-flag prefix sort
+        if scene.num_triangles > cfg.bvh_threshold:
+            def compact_fn(st, sl):
+                return compact_base(st, sl, key=coherence_key(st, scene))
+        else:
+            compact_fn = compact_base
 
     def segment(carry, seg):
         state, slot = carry
@@ -129,11 +162,15 @@ def render_sample(scene: Scene, camera: Camera, cfg, sample_idx,
     slot = jnp.arange(state.ro.shape[0], dtype=jnp.int32)
     (state, slot), _ = jax.lax.scan(segment, (state, slot), segs,
                                     unroll=unroll)
+    radiance = state.radiance
     if compact != "off":
         # undo the lane reordering: radiance back to input pixel order
         from .compaction import scatter_to_slots
-        return scatter_to_slots(state.radiance, slot)
-    return state.radiance
+        radiance = scatter_to_slots(radiance, slot)
+    if blocked:
+        # undo the block layout: radiance back to scanline pixel order
+        radiance = jnp.zeros_like(radiance).at[pixel_idx].set(radiance)
+    return radiance
 
 
 def render_accumulate(scene: Scene, camera: Camera, cfg, accum,
