@@ -31,10 +31,16 @@ and unrolled residual buffers, so it cannot price the roofline. All
 three denominators (bytes, XLA flops, Pallas flops) come from this one
 schedule.
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md), so this
-remains the ratio against a documented estimate of the reference OpenMP
-CPU tracer on a 16-core desktop: ~5e6 ray queries/s (Möller–Trumbore +
-BVH, ~13 threads, pathtracer.cpp:768).
+``vs_baseline``: since r5 this is MEASURED — benchmarks/ref_baseline.py
+compiles the reference core headless (benchmarks/refbench) and times it
+on this machine; REF_BASELINE.json records paths/s per config. The
+headline ratio compares OUR forward paths/s on the flagship cornell
+config against the reference binary on the same scene/res/depth,
+normalized to a 16-core desktop (measured per-core throughput x 13
+worker threads, the reference's own num_threads heuristic at 16 cores
+— this box has 2 cores, so the raw measurement is scaled, and both
+numbers are recorded). Falls back to the old ~5e6 rays/s estimate only
+when REF_BASELINE.json is absent.
 
 Ray accounting: per sample and segment, one bounce closest-hit query and
 one NEE shadow query per *live* lane; dead-lane slots are not credited.
@@ -46,11 +52,50 @@ import json
 import time
 import warnings
 
-REFERENCE_CPU_RAYS_PER_S = 5.0e6  # documented estimate, see module docstring
+REFERENCE_CPU_RAYS_PER_S = 5.0e6  # fallback estimate, see module docstring
 
 WIDTH = HEIGHT = 512
 DEPTH = 4
 SPP = 1
+
+
+def reference_baseline():
+    """Measured reference-binary throughput from REF_BASELINE.json.
+
+    Returns (per-chip-comparable paths/s for a 16-core desktop, info
+    dict) or (None, {...}) when no measurement exists. The reference
+    reserves 3 threads for its UI (pathtracer.cpp:768-774), so a
+    16-core desktop runs 13 workers; this box's measurement is
+    per-core-scaled accordingly."""
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "REF_BASELINE.json")
+    if not os.path.exists(path):
+        return None, {"vs_baseline_is_estimate": True,
+                      "baseline_assumption":
+                          "ref CPU ~5e6 rays/s (16-core OpenMP)"}
+    with open(path) as f:
+        data = json.load(f)
+    cfg = data.get("configs", {}).get("cornell")
+    if not cfg:
+        return None, {"vs_baseline_is_estimate": True,
+                      "baseline_assumption":
+                          "ref CPU ~5e6 rays/s (16-core OpenMP)"}
+    ref = cfg["ref"]
+    threads = ref.get("threads") or data["host"]["ref_threads"]
+    per_core = ref["paths_per_s"] / max(threads, 1)
+    ref_16core = per_core * 13  # 16-core desktop -> 13 worker threads
+    return ref_16core, {
+        "vs_baseline_is_estimate": False,
+        "baseline_source": "REF_BASELINE.json (compiled reference core, "
+                           "benchmarks/refbench)",
+        "ref_measured_paths_per_s": ref["paths_per_s"],
+        "ref_measured_threads": threads,
+        "ref_paths_per_s_16core_proj": round(ref_16core, 1),
+        "ref_workload": cfg.get("workload"),
+        "ref_parity_ok": cfg.get("parity", {}).get("parity_ok"),
+    }
 
 
 def measure_flagship(extra_workloads=True):
@@ -181,15 +226,40 @@ def measure_flagship(extra_workloads=True):
                            f"({dcfg.resolved_max_segments()} segments)",
         }
 
+    # --- big-scene throughput (VERDICT r4 next #1: track every round) ----
+    bigscene = {}
+    if extra_workloads:
+        from .scene.big_scenes import mesh_scene, mesh_scene_camera
+        mcam = mesh_scene_camera()
+        for label, ntris in (("50k", 50_000), ("1M", 1_000_000)):
+            bscene = mesh_scene(ntris, accel="always")
+            bcfg = RenderConfig(width=WIDTH, height=HEIGHT, max_depth=3,
+                                spp=1)
+            bjit = jax.jit(lambda s, _sc=bscene, _c=bcfg: jnp.sum(
+                render_sample(_sc, mcam, _c, jnp.uint32(0), seed=s)))
+            t_b = devtime(bjit, lambda i: (jnp.uint32(i),), reps=3)
+            bigscene[f"paths_per_s_{label}tris"] = round(n_pix / t_b, 1)
+            bigscene[f"t_sample_{label}tris_ms"] = round(t_b * 1e3, 1)
+            del bscene, bjit
+
     rays_fwd = rays_per_sample / t_fwd
     rays_fwdbwd = rays_per_sample / t_fwdbwd
     value = rays_fwdbwd
+
+    # measured baseline (compiled reference binary) when available;
+    # vs_baseline compares like-for-like: OUR forward paths/s on the
+    # flagship config vs the reference's paths/s (16-core projection)
+    ref_paths, ref_info = reference_baseline()
+    if ref_paths is not None:
+        vs_baseline = (n_pix * SPP / t_fwd) / ref_paths
+    else:
+        vs_baseline = value / REFERENCE_CPU_RAYS_PER_S
 
     return {
         "metric": "rays_per_s_per_chip_fwd_bwd",
         "value": round(value, 1),
         "unit": "rays/s",
-        "vs_baseline": round(value / REFERENCE_CPU_RAYS_PER_S, 3),
+        "vs_baseline": round(vs_baseline, 3),
         "extras": {
             "rays_per_s_fwd": round(rays_fwd, 1),
             "paths_per_s_fwd": round(n_pix * SPP / t_fwd, 1),
@@ -204,9 +274,8 @@ def measure_flagship(extra_workloads=True):
             "live_per_segment": live.tolist(),
             "config": f"{WIDTH}x{HEIGHT}@{SPP}spp depth{DEPTH} cornell",
             "device": str(jax.devices()[0]),
-            "vs_baseline_is_estimate": True,  # ref publishes no numbers;
-            # the headline perf readout is fraction_of_roofline above
-            "baseline_assumption": "ref CPU ~5e6 rays/s (16-core OpenMP)",
+            **ref_info,
+            **bigscene,
             "timing_note": "queued R-vs-2R slope is canonical since r3; "
                            "r1/r2 used a device-side rep scan. Re-measured "
                            "under THIS method the r2-era graph (winner "

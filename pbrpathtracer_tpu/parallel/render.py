@@ -42,9 +42,18 @@ def render_sharded(scene: Scene, camera: Camera, cfg, mesh=None, seed=None):
     n_pix = cfg.width * cfg.height
     n_pad = pad_to_devices(n_pix, n_dev)
 
-    pixel_idx = jnp.arange(n_pad, dtype=jnp.int32)
+    order = cfg.resolved_pixel_order(scene)
+    if order == "block":
+        # compact-tile lane layout (ops/integrator.block_pixel_order):
+        # the list kernel's per-tile candidate sets shrink with the
+        # tile's image footprint; undone by the scatter below
+        from ..ops.integrator import block_pixel_order
+        base = jnp.asarray(block_pixel_order(cfg.width, cfg.height))
+    else:
+        base = jnp.arange(n_pix, dtype=jnp.int32)
     # Padding lanes re-trace pixel 0; their results are dropped on reshape.
-    pixel_idx = jnp.where(pixel_idx < n_pix, pixel_idx, 0)
+    pixel_idx = jnp.concatenate(
+        [base, jnp.zeros((n_pad - n_pix,), jnp.int32)])
     pixel_idx = jax.device_put(pixel_idx, ray_sharding(mesh))
 
     def local_render(scene, camera, pixel_idx):
@@ -64,8 +73,10 @@ def render_sharded(scene: Scene, camera: Camera, cfg, mesh=None, seed=None):
                            check_rep=False))
     img = jax.device_put(go(scene, camera, pixel_idx),
                          NamedSharding(mesh, P()))
-    img = jnp.asarray(img)
-    return img[:n_pix].reshape(cfg.height, cfg.width, 3)
+    img = jnp.asarray(img)[:n_pix]
+    if order == "block":
+        img = jnp.zeros_like(img).at[base].set(img)
+    return img.reshape(cfg.height, cfg.width, 3)
 
 
 def make_train_step_overlapped(scene_template: Scene, camera_template: Camera,
