@@ -143,8 +143,15 @@ def main():
             img2 = np.asarray(render(scene, mcam, cfg))
             render_s = time.time() - t0
             del img2
-            tcfg = cfg.replace(spp=1)
-            target = jnp.zeros((size, size, 3), jnp.float32)
+            # Texture-grad pass at 256²: the fwd+bwd graph at 512² runs
+            # ~25 s in ONE dispatch (measured r5) — the tunneled worker's
+            # watchdog kills dispatches past ~8 s (the r4/r5 ladder-3
+            # "TPU worker crashed" root cause). The loss is pixelwise so
+            # the 256² gradient exercises the identical code path; FD
+            # validation below runs at 64² as before.
+            gsize = min(size, 256)
+            tcfg = cfg.replace(width=gsize, height=gsize, spp=1)
+            target = jnp.zeros((gsize, gsize, 3), jnp.float32)
             loss, g = grad_render(scene, mcam, tcfg, target, materials=False,
                                   textures=True)
             gt = np.asarray(g["tex.data"])
@@ -209,52 +216,102 @@ def main():
             mcam = mesh_scene_camera()
             size = 128 if quick else 1024
             spp = 1 if quick else 256
-            cfg = RenderConfig(width=size, height=size, max_depth=3, spp=spp)
             from pbrpathtracer_tpu.parallel.mesh import make_mesh
             from pbrpathtracer_tpu.parallel.render import render_sharded
             import jax
             devs = jax.devices()
             mesh = make_mesh(devs)
-            img = np.asarray(render_sharded(scene, mcam, cfg, mesh=mesh))
-            assert np.isfinite(img).all()
+            # BASELINE config 5 AT SPEC: full spp, chunked into
+            # watchdog-safe dispatches (keyed RNG makes chunked
+            # accumulation bit-identical to one monolithic pass)
+            cfg1 = RenderConfig(width=size, height=size, max_depth=3, spp=1)
+            img = np.asarray(render_sharded(scene, mcam, cfg1, mesh=mesh))
+            assert np.isfinite(img).all()   # warm: pays the compile
             t0 = time.time()
-            img2 = np.asarray(render_sharded(scene, mcam, cfg, mesh=mesh))
+            t1 = time.time()
+            img1 = np.asarray(render_sharded(scene, mcam, cfg1, mesh=mesh))
+            t_sample = time.time() - t1
+            # ~6 s dispatches (measured single-sample time), min 1 — the
+            # tunneled worker killed ~8 s dispatches in r4 while ~2.5 s
+            # ones ran 64-in-a-row stable (engine/config.py:88-97)
+            chunk = max(1, min(spp, int(6.0 / max(t_sample, 1e-3))))
+            ccfg = cfg1.replace(spp=chunk)
+            acc = img1 * 1.0
+            done = 1
+            while done < spp:
+                m = min(chunk, spp - done)
+                part = render_sharded(scene, mcam,
+                                      ccfg if m == chunk
+                                      else cfg1.replace(spp=m),
+                                      mesh=mesh, sample_start=done)
+                acc = acc + np.asarray(part) * m
+                done += m
+            img = acc / spp
             render_s = time.time() - t0
-            del img2
+            assert np.isfinite(img).all()
 
-            # short sharded inverse-rendering fit (BASELINE config 5)
+            # REAL sharded inverse-rendering fit of materials+lights
+            # (BASELINE config 5): target rendered with the TRUE
+            # parameters, materials+light intensity perturbed, then
+            # optimized — loss must decrease and the perturbed
+            # parameters must move back toward the truth.
             import optax
             from pbrpathtracer_tpu.parallel.mesh import (ray_sharding,
                                                          replicated)
             from pbrpathtracer_tpu.parallel.render import make_train_step
             from pbrpathtracer_tpu.diff.params import get_params
-            fit_size = 64 if quick else 256
+            fit_size = 64 if quick else 128
+            fit_steps = 3 if quick else 12
             fcfg = RenderConfig(width=fit_size, height=fit_size, max_depth=2,
                                 spp=1)
-            params = get_params(scene, mcam, materials=True)
-            opt = optax.adam(1e-2)
+            true_params = get_params(scene, mcam, materials=True)
+            target_img = render_sharded(scene, mcam, fcfg, mesh=mesh)
+            ftarget = jax.device_put(
+                jnp.asarray(target_img).reshape(-1, 3),
+                ray_sharding(mesh))
+
+            params = dict(true_params)
+            params["mat.diffuse"] = true_params["mat.diffuse"] * 0.6
+            params["mat.emissive_intensity"] = (
+                true_params["mat.emissive_intensity"] * 1.5)
+
+            def recovery_err(p):
+                return float(
+                    jnp.abs(p["mat.diffuse"]
+                            - true_params["mat.diffuse"]).mean()
+                    + jnp.abs(p["mat.emissive_intensity"]
+                              - true_params["mat.emissive_intensity"]
+                              ).mean())
+
+            err0 = recovery_err(params)
+            opt = optax.adam(3e-2)
             opt_state = opt.init(params)
             step = make_train_step(scene, mcam, fcfg, opt, mesh)
             pixel_idx = jax.device_put(
                 jnp.arange(fcfg.num_pixels, dtype=jnp.int32),
                 ray_sharding(mesh))
-            ftarget = jax.device_put(
-                jnp.full((fcfg.num_pixels, 3), 0.2, jnp.float32),
-                ray_sharding(mesh))
             params = jax.device_put(params, replicated(mesh))
             opt_state = jax.device_put(opt_state, replicated(mesh))
             losses = []
-            for s in range(2):
+            for s in range(fit_steps):
                 params, opt_state, l = step(params, opt_state, scene, mcam,
                                             pixel_idx, ftarget,
-                                            jnp.uint32(s))
+                                            jnp.uint32(s % 4))
                 losses.append(float(l))
+            err1 = recovery_err(params)
             assert all(np.isfinite(losses))
+            assert losses[-1] < losses[0] * 0.5, (
+                f"fit loss not decreasing: {losses}")
+            assert err1 < err0 * 0.7, (
+                f"perturbation not recovered: {err0} -> {err1}")
             return {"tris": scene.num_triangles, "devices": len(devs),
-                    "mean": float(img.mean()),
-                    "render_s_warm": round(render_s, 3),
+                    "mean": float(img.mean()), "spp": spp,
+                    "render_s": round(render_s, 3),
+                    "spp_per_dispatch": chunk,
                     "paths_per_s": round(size * size * spp / render_s, 1),
-                    "fit_losses": losses}
+                    "fit_losses": [round(x, 6) for x in losses],
+                    "fit_recovery_err": {"before": round(err0, 4),
+                                         "after": round(err1, 4)}}
         run_rung("5-million-sharded", rung5)
 
 

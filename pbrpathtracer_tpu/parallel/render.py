@@ -31,10 +31,47 @@ from ..scene.scene import Camera, Scene
 from .mesh import RAYS_AXIS, make_mesh, pad_to_devices, ray_sharding, replicated
 
 
-def render_sharded(scene: Scene, camera: Camera, cfg, mesh=None, seed=None):
+_SHARDED_RENDER_CACHE: dict = {}
+
+
+def _sharded_render_fn(mesh, cfg):
+    """Jitted sharded render step, memoized per (mesh, cfg): repeated /
+    chunked calls (high-spp dispatch loops) reuse one compile — seed and
+    sample_start enter as traced arguments."""
+    key = (mesh, cfg)
+    fn = _SHARDED_RENDER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def local_render(scene, camera, pixel_idx, seed, sample_start):
+        # pixel_idx is this device's shard; zero cross-device traffic.
+        acc = jnp.zeros((pixel_idx.shape[0], 3), jnp.float32)
+
+        def body(a, k):
+            return a + render_sample(scene, camera, cfg, k,
+                                     pixel_idx=pixel_idx, seed=seed), None
+        ks = sample_start + jnp.arange(cfg.spp, dtype=jnp.uint32)
+        acc, _ = jax.lax.scan(body, acc, ks)
+        return acc / jnp.float32(cfg.spp)
+
+    from jax.experimental.shard_map import shard_map
+    spec = P(tuple(mesh.axis_names))
+    fn = jax.jit(shard_map(local_render, mesh=mesh,
+                           in_specs=(P(), P(), spec, P(), P()),
+                           out_specs=spec, check_rep=False))
+    _SHARDED_RENDER_CACHE[key] = fn
+    return fn
+
+
+def render_sharded(scene: Scene, camera: Camera, cfg, mesh=None, seed=None,
+                   sample_start: int = 0):
     """Forward render with the pixel wavefront sharded over the mesh.
 
     Returns f32[H, W, 3] mean radiance (fully addressable on host).
+    ``sample_start`` offsets the absolute sample counter so callers can
+    chunk a high-spp render into multiple watchdog-safe dispatches and
+    average the results — the keyed RNG makes chunked accumulation
+    bit-identical to one monolithic pass (engine/session.py semantics).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -56,22 +93,11 @@ def render_sharded(scene: Scene, camera: Camera, cfg, mesh=None, seed=None):
         [base, jnp.zeros((n_pad - n_pix,), jnp.int32)])
     pixel_idx = jax.device_put(pixel_idx, ray_sharding(mesh))
 
-    def local_render(scene, camera, pixel_idx):
-        # pixel_idx is this device's shard; zero cross-device traffic.
-        acc = jnp.zeros((pixel_idx.shape[0], 3), jnp.float32)
-
-        def body(a, k):
-            return a + render_sample(scene, camera, cfg, k,
-                                     pixel_idx=pixel_idx, seed=seed), None
-        acc, _ = jax.lax.scan(body, acc, jnp.arange(cfg.spp, dtype=jnp.uint32))
-        return acc / jnp.float32(cfg.spp)
-
-    from jax.experimental.shard_map import shard_map
-    spec = P(tuple(mesh.axis_names))
-    go = jax.jit(shard_map(local_render, mesh=mesh,
-                           in_specs=(P(), P(), spec), out_specs=spec,
-                           check_rep=False))
-    img = jax.device_put(go(scene, camera, pixel_idx),
+    seed = (jnp.uint32(cfg.seed) if seed is None
+            else jnp.asarray(seed, jnp.uint32))
+    go = _sharded_render_fn(mesh, cfg)
+    img = jax.device_put(go(scene, camera, pixel_idx, seed,
+                            jnp.uint32(sample_start)),
                          NamedSharding(mesh, P()))
     img = jnp.asarray(img)[:n_pix]
     if order == "block":
