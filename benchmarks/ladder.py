@@ -22,6 +22,15 @@ warnings.filterwarnings("ignore")
 # `pip install -e .` via pyproject.toml).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compilation cache: the heavy rung-3/5 fwd+bwd graphs compile
+# for minutes THROUGH the tunnel, and the worker sometimes dies mid-
+# compile (the ~300 s ladder-3 failures, R5 evidence). With the cache, a
+# ladder_driver.py retry resumes past every compile the previous attempt
+# completed instead of rolling the dice from zero.
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def run_rung(name, fn):
     t0 = time.time()
@@ -135,27 +144,31 @@ def main():
             spp = 2 if quick else 64
             size = 256 if quick else 512
             cfg = RenderConfig(width=size, height=size, max_depth=3, spp=spp)
-            img = np.asarray(render(scene, mcam, cfg))
-            assert np.isfinite(img).all() and img.max() > 0.05
-            # warm re-render for an on-chip throughput number (first call
-            # above pays compile; this one doesn't)
-            t0 = time.time()
-            img2 = np.asarray(render(scene, mcam, cfg))
-            render_s = time.time() - t0
-            del img2
-            # Texture-grad pass at 256²: the fwd+bwd graph at 512² runs
-            # ~25 s in ONE dispatch (measured r5) — the tunneled worker's
-            # watchdog kills dispatches past ~8 s (the r4/r5 ladder-3
-            # "TPU worker crashed" root cause). The loss is pixelwise so
-            # the 256² gradient exercises the identical code path; FD
-            # validation below runs at 64² as before.
+            # Texture-grad pass FIRST (fresh worker) at 256² rolled: the
+            # 512² unrolled fwd+bwd graph measured ~25 s/dispatch and a
+            # multi-minute tunnel compile — the watchdog kill behind the
+            # r4/r5 ladder-3 crashes. The loss is pixelwise so the 256²
+            # gradient exercises the identical code path; FD validation
+            # below runs at 64² as before.
             gsize = min(size, 256)
-            tcfg = cfg.replace(width=gsize, height=gsize, spp=1)
+            tcfg = cfg.replace(width=gsize, height=gsize, spp=1,
+                               unroll_segments=1)
             target = jnp.zeros((gsize, gsize, 3), jnp.float32)
             loss, g = grad_render(scene, mcam, tcfg, target, materials=False,
                                   textures=True)
             gt = np.asarray(g["tex.data"])
             assert np.isfinite(gt).all() and np.abs(gt).max() > 0
+
+            img = np.asarray(render(scene, mcam, cfg))
+            assert np.isfinite(img).all() and img.max() > 0.05
+            # warm throughput from a short re-render (the full 64-spp
+            # pass above pays compile; a second full pass doubled the
+            # in-process dispatch count, which destabilizes the worker)
+            wspp = 2 if quick else 8
+            t0 = time.time()
+            img2 = np.asarray(render(scene, mcam, cfg.replace(spp=wspp)))
+            render_s = (time.time() - t0) * (spp / wspp)
+            del img2
 
             # FD probe of the 3 texels with the largest AD gradient
             # (BASELINE config 3: texture grads must match FD). Small
